@@ -1,0 +1,170 @@
+"""Immutable knowledge-graph container as a JAX pytree.
+
+TPU-native replacement for torchdrug's ``data.Graph`` as used by the reference
+(/root/reference/ultra/dataset.py, /root/reference/ultra/model.py:166 — only the
+capabilities the reference exercises: edge_list of (head, tail, relation),
+num_node/num_edge/num_relation, degree_out, undirected(add_inverse=True),
+edge masking, attribute-free construction).
+
+Differences from the reference by design:
+  * arrays + static metadata instead of a mutable object with attribute
+    context-managers; "with graph.edge(): ..." semantics become explicit fields
+  * edges are never deleted under jit — ``edge_weight`` is multiplied by a mask
+    instead (same math: a weight-0 edge contributes nothing to any aggregation)
+  * shapes are static: the edge count is fixed at construction
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Graph:
+    """A static-shape relational graph.
+
+    Fields
+      edge_index: int32 [E, 2] — (head, tail) node ids
+      edge_type:  int32 [E]    — relation id per edge
+      edge_weight: float32 [E] — multiplicative edge weight (0 == masked out)
+      num_nodes: static int
+      num_relations: static int — size of the relation vocabulary (0 for
+        homogeneous graphs, mirroring the reference's ``num_relation`` falsiness
+        check at /root/reference/ultra/model.py:163)
+    """
+
+    edge_index: jnp.ndarray
+    edge_type: jnp.ndarray
+    edge_weight: jnp.ndarray
+    num_nodes: int = dataclasses.field(metadata=dict(static=True))
+    num_relations: int = dataclasses.field(metadata=dict(static=True))
+
+    # ---- constructors -----------------------------------------------------
+
+    @staticmethod
+    def from_triplets(
+        triplets,
+        num_nodes: int,
+        num_relations: int,
+        edge_weight=None,
+    ) -> "Graph":
+        """Build from an [E, 3] array of (head, tail, relation) rows."""
+        triplets = jnp.asarray(triplets, dtype=jnp.int32)
+        if triplets.ndim != 2 or triplets.shape[-1] != 3:
+            raise ValueError(f"triplets must be [E, 3], got {triplets.shape}")
+        if edge_weight is None:
+            edge_weight = jnp.ones((triplets.shape[0],), dtype=jnp.float32)
+        else:
+            edge_weight = jnp.asarray(edge_weight, dtype=jnp.float32)
+        return Graph(
+            edge_index=triplets[:, :2],
+            edge_type=triplets[:, 2],
+            edge_weight=edge_weight,
+            num_nodes=int(num_nodes),
+            num_relations=int(num_relations),
+        )
+
+    # ---- basic properties -------------------------------------------------
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.edge_index.shape[0])
+
+    @property
+    def heads(self) -> jnp.ndarray:
+        return self.edge_index[:, 0]
+
+    @property
+    def tails(self) -> jnp.ndarray:
+        return self.edge_index[:, 1]
+
+    @property
+    def edge_list(self) -> jnp.ndarray:
+        """[E, 3] (head, tail, relation) — the reference's ``edge_list`` layout."""
+        return jnp.concatenate(
+            [self.edge_index, self.edge_type[:, None].astype(jnp.int32)], axis=1
+        )
+
+    # ---- derived quantities ----------------------------------------------
+
+    def degree_out(self) -> jnp.ndarray:
+        """Weighted in-degree by edge target — matches torchdrug's
+        ``degree_out`` (sum of edge weights grouped by the *receiving* node),
+        used as the +1-smoothed normalizer in the conv layer
+        (/root/reference/ultra/layer.py:121,309)."""
+        return jax.ops.segment_sum(
+            self.edge_weight, self.tails, num_segments=self.num_nodes
+        )
+
+    def degree_in(self) -> jnp.ndarray:
+        return jax.ops.segment_sum(
+            self.edge_weight, self.heads, num_segments=self.num_nodes
+        )
+
+    # ---- transforms (all shape-static, cacheable per graph) ---------------
+
+    def undirected_with_inverse(self) -> "Graph":
+        """Append inverse edges (t, h, r + R); doubles E and the relation
+        vocabulary. Mirrors ``graph.undirected(add_inverse=True)``
+        (/root/reference/ultra/model.py:166, rel_model.py:92)."""
+        inv_index = self.edge_index[:, ::-1]
+        inv_type = self.edge_type + self.num_relations
+        return Graph(
+            edge_index=jnp.concatenate([self.edge_index, inv_index], axis=0),
+            edge_type=jnp.concatenate([self.edge_type, inv_type], axis=0),
+            edge_weight=jnp.concatenate([self.edge_weight, self.edge_weight], axis=0),
+            num_nodes=self.num_nodes,
+            num_relations=self.num_relations * 2,
+        )
+
+    def with_edge_weight(self, edge_weight: jnp.ndarray) -> "Graph":
+        return dataclasses.replace(self, edge_weight=edge_weight)
+
+    def mask_edges(self, keep_mask: jnp.ndarray) -> "Graph":
+        """Static-shape analog of torchdrug ``graph.edge_mask``: zero out the
+        weight of dropped edges instead of removing rows."""
+        return self.with_edge_weight(self.edge_weight * keep_mask.astype(jnp.float32))
+
+    def select_edges(self, keep_mask) -> "Graph":
+        """Host-side (non-jit) true edge removal; changes E. For preprocessing
+        only — e.g. carving fact graphs out of the full graph."""
+        keep = np.asarray(keep_mask)
+        return Graph(
+            edge_index=jnp.asarray(np.asarray(self.edge_index)[keep]),
+            edge_type=jnp.asarray(np.asarray(self.edge_type)[keep]),
+            edge_weight=jnp.asarray(np.asarray(self.edge_weight)[keep]),
+            num_nodes=self.num_nodes,
+            num_relations=self.num_relations,
+        )
+
+    def sorted_by_tail(self) -> "Graph":
+        """Reorder edges so targets are ascending — the CSR layout the Pallas
+        rspmm kernel consumes. Host-side preprocessing (stable order)."""
+        order = np.argsort(np.asarray(self.tails), kind="stable")
+        return Graph(
+            edge_index=jnp.asarray(np.asarray(self.edge_index)[order]),
+            edge_type=jnp.asarray(np.asarray(self.edge_type)[order]),
+            edge_weight=jnp.asarray(np.asarray(self.edge_weight)[order]),
+            num_nodes=self.num_nodes,
+            num_relations=self.num_relations,
+        )
+
+    def __repr__(self):  # pragma: no cover
+        return (
+            f"Graph(num_nodes={self.num_nodes}, num_edges={self.num_edges}, "
+            f"num_relations={self.num_relations})"
+        )
+
+
+def pack(graphs):
+    """The reference packs lists of relation graphs into one buffer
+    (``data.Graph.pack`` at /root/reference/ultra/task.py:224). Graphs here are
+    plain pytrees, so a tuple is the packed form."""
+    return tuple(graphs)
