@@ -1,0 +1,222 @@
+"""Generalized relational message-passing layer (NBFNet conv).
+
+TPU-native re-design of the reference's GeneralizedRelationalConvNBF /
+GeneralizedRelationalConvNBFMod (/root/reference/ultra/layer.py:14-392). One
+layer covers all three relation-parameterization modes:
+
+  * "embedding":  learned per-relation vectors (dependent=False)
+  * "dependent":  relations projected from the query (dependent=True)
+  * "injected":   relation vectors supplied by the caller (the Mod variant —
+                  used by all shipped configs), optionally passed through a
+                  per-layer 2-layer MLP ("project")
+
+Message functions: transe (add), distmult (mul), rotate (complex mul).
+Aggregations: sum / mean / max / pna, each with a "_nobound" variant; the
+boundary condition is folded into the aggregation exactly as the reference's
+fused path does (layer.py:154-178).
+
+distmult/transe run through ops.rspmm (O(V·D)-memory fused op); rotate takes
+the O(E) materialized path, mirroring the reference's fallback (layer.py:112).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.core import (
+    layer_norm_apply,
+    layer_norm_init,
+    linear_apply,
+    linear_init,
+    mlp_apply,
+    mlp_init,
+)
+from ..ops.rspmm import generalized_rspmm
+
+EPS = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvConfig:
+    input_dim: int
+    output_dim: int
+    num_relations: int
+    query_input_dim: int
+    message_func: str = "distmult"  # transe | distmult | rotate
+    aggregate_func: str = "pna"  # sum|mean|max|pna (+ _nobound)
+    layer_norm: bool = False
+    activation: str = "relu"
+    rel_mode: str = "injected"  # embedding | dependent | injected
+    project: bool = True  # injected mode: per-layer MLP on relation vectors
+    rspmm_impl: str = "xla"  # xla | pallas
+
+
+def conv_init(key, cfg: ConvConfig) -> dict:
+    keys = jax.random.split(key, 3)
+    base = cfg.aggregate_func.replace("_nobound", "")
+    in_mult = 13 if base == "pna" else 2
+    p = {"linear": linear_init(keys[0], cfg.input_dim * in_mult, cfg.output_dim)}
+    if cfg.layer_norm:
+        p["layer_norm"] = layer_norm_init(cfg.output_dim)
+    if cfg.rel_mode == "embedding":
+        # torch nn.Embedding default: N(0, 1)
+        p["relation"] = {
+            "weight": jax.random.normal(
+                keys[1], (cfg.num_relations, cfg.input_dim), jnp.float32
+            )
+        }
+    elif cfg.rel_mode == "dependent":
+        p["relation_linear"] = linear_init(
+            keys[1], cfg.query_input_dim, cfg.num_relations * cfg.input_dim
+        )
+    elif cfg.rel_mode == "injected":
+        if cfg.project:
+            p["relation_projection"] = mlp_init(
+                keys[1], cfg.query_input_dim, [cfg.input_dim, cfg.input_dim]
+            )
+    else:
+        raise ValueError(f"unknown rel_mode {cfg.rel_mode!r}")
+    return p
+
+
+def _relation_input(params, cfg: ConvConfig, query, rel_injected):
+    """Resolve per-relation vectors: [R, D] (shared) or [R, B, D] (per-batch)."""
+    if cfg.rel_mode == "embedding":
+        return params["relation"]["weight"]  # [R, D]
+    if cfg.rel_mode == "dependent":
+        # query: [B, Q] -> [B, R, D] -> [R, B, D]
+        rel = linear_apply(params["relation_linear"], query)
+        rel = rel.reshape(query.shape[0], cfg.num_relations, cfg.input_dim)
+        return rel.transpose(1, 0, 2)
+    # injected: [R, D] or [B, R, D]
+    rel = rel_injected
+    if cfg.project:
+        rel = mlp_apply(params["relation_projection"], rel)
+    if rel.ndim == 3:  # [B, R, D] -> [R, B, D]
+        rel = rel.transpose(1, 0, 2)
+    return rel
+
+
+def _rotate_messages_aggregate(graph, rel, x, agg_is_max_min: str):
+    """O(E) rotate path: complex multiplication messages + segment reduce.
+    rel: [R, D] or [R, B, D]; x: [V, B, D]."""
+    src, dst = graph.edge_index[:, 0], graph.edge_index[:, 1]
+    x_e = x[src]  # [E, B, D]
+    rel_e = rel[graph.edge_type]
+    if rel_e.ndim == 2:
+        rel_e = rel_e[:, None, :]
+    d = x_e.shape[-1] // 2
+    xr, xi = x_e[..., :d], x_e[..., d:]
+    rr, ri = rel_e[..., :d], rel_e[..., d:]
+    m = jnp.concatenate([xr * rr - xi * ri, xr * ri + xi * rr], axis=-1)
+    m = m * graph.edge_weight[:, None, None]
+    if agg_is_max_min == "max":
+        out = jax.ops.segment_max(m, dst, num_segments=graph.num_nodes)
+        return jnp.where(jnp.isfinite(out), out, jnp.zeros_like(out))
+    if agg_is_max_min == "min":
+        out = jax.ops.segment_min(m, dst, num_segments=graph.num_nodes)
+        return jnp.where(jnp.isfinite(out), out, jnp.zeros_like(out))
+    return jax.ops.segment_sum(m, dst, num_segments=graph.num_nodes)
+
+
+def conv_apply(
+    params: dict,
+    cfg: ConvConfig,
+    graph,
+    x: jnp.ndarray,
+    boundary: jnp.ndarray,
+    query: Optional[jnp.ndarray] = None,
+    rel_injected: Optional[jnp.ndarray] = None,
+    edge_grad: bool = False,
+) -> jnp.ndarray:
+    """One message-passing step.
+
+    Args:
+      graph: data.Graph (already undirected+inverse where applicable)
+      x: [V, B, D] node states
+      boundary: [V, B, D] boundary condition (folded into aggregation)
+      query: [B, Q] query vectors ("dependent" mode only)
+      rel_injected: externally supplied relation reps ("injected" mode)
+      edge_grad: route through the autodiff path so d(edge_weight) flows
+        (path interpretability; mirrors layer.py:112's fallback condition)
+    Returns: [V, B, output_dim]
+    """
+    rel = _relation_input(params, cfg, query, rel_injected)
+
+    def spmm(relation, xx, agg):
+        if cfg.message_func == "rotate":
+            assert agg in ("add", "max", "min")
+            return _rotate_messages_aggregate(graph, relation, xx, agg)
+        msg = {"transe": "add", "distmult": "mul"}[cfg.message_func]
+        return generalized_rspmm(
+            graph.edge_index,
+            graph.edge_type,
+            graph.edge_weight,
+            relation,
+            xx,
+            msg=msg,
+            agg=agg,
+            num_nodes=graph.num_nodes,
+            impl=cfg.rspmm_impl,
+            edge_grad=edge_grad,
+        )
+
+    agg = cfg.aggregate_func
+    base = agg.replace("_nobound", "")
+    bounded = not agg.endswith("_nobound")
+    degree = graph.degree_out()[:, None, None] + 1.0  # [V,1,1]
+
+    if base == "sum":
+        update = spmm(rel, x, "add")
+        if bounded:
+            update = update + boundary
+    elif base == "mean":
+        update = spmm(rel, x, "add")
+        if bounded:
+            update = (update + boundary) / degree
+        else:
+            update = update / degree
+    elif base == "max":
+        update = spmm(rel, x, "max")
+        if bounded:
+            update = jnp.maximum(update, boundary)
+    elif base == "pna":
+        s = spmm(rel, x, "add")
+        sq = spmm(rel**2, x**2, "add")
+        mx = spmm(rel, x, "max")
+        mn = spmm(rel, x, "min")
+        if bounded:
+            mean = (s + boundary) / degree
+            sq_mean = (sq + boundary**2) / degree
+            mx = jnp.maximum(mx, boundary)
+            mn = jnp.minimum(mn, boundary)
+        else:
+            mean = s / degree
+            sq_mean = sq / degree
+        std = jnp.sqrt(jnp.clip(sq_mean - mean**2, EPS, None))
+        features = jnp.stack([mean, mx, mn, std], axis=-1)  # [V,B,D,4]
+        features = features.reshape(*features.shape[:-2], -1)  # [V,B,4D]
+        scale = jnp.log(degree)
+        scale = scale / scale.mean()
+        inv = 1.0 / jnp.clip(scale, 1e-2, None)
+        scales = jnp.concatenate(
+            [jnp.ones_like(scale), scale, inv], axis=-1
+        )  # [V,1,3]
+        update = (features[..., None] * scales[:, :, None, :]).reshape(
+            *features.shape[:-1], -1
+        )  # [V,B,12D]
+    else:
+        raise ValueError(f"unknown aggregate function {agg!r}")
+
+    out = linear_apply(params["linear"], jnp.concatenate([x, update], axis=-1))
+    if cfg.layer_norm:
+        out = layer_norm_apply(params["layer_norm"], out)
+    if cfg.activation == "relu":
+        out = jax.nn.relu(out)
+    elif cfg.activation and cfg.activation != "none":
+        out = getattr(jax.nn, cfg.activation)(out)
+    return out
