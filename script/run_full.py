@@ -1,0 +1,93 @@
+"""Single-experiment driver: config -> dataset -> task -> engine -> train/eval.
+
+CLI-compatible with the reference's script/run_full.py (/root/reference/script/
+run_full.py): `python script/run_full.py -c <yaml> --dataset X --version vN
+--epochs N --bpe N --ckpt path`, with undeclared template variables in the
+YAML auto-exposed as required flags. `--gpus` is accepted for config
+compatibility and ignored — device selection is JAX's.
+"""
+
+import math
+import os
+import pprint
+import random
+import sys
+
+import numpy as np
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ultra_torchdrug_tpu.engine.build import build_dataset, build_engine, build_task
+from ultra_torchdrug_tpu.utils.config import load_config, parse_args
+from ultra_torchdrug_tpu.utils.logging import create_working_directory, get_root_logger
+
+
+def set_seed(seed: int):
+    import jax
+
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def train_and_validate(cfg, engine, logger):
+    """Epoch chunks with best-checkpoint selection (reference run_full.py:62-90)."""
+    num_epoch = cfg.get("train", {}).get("num_epoch", 0)
+    if num_epoch == 0:
+        return
+    bpe = cfg.get("train", {}).get("batch_per_epoch")
+    fast_test = cfg.get("fast_test")
+    step = math.ceil(num_epoch / 10)
+    best_result, best_epoch = float("-inf"), -1
+    metric_name = cfg.get("metric", "mrr")
+    for i in range(0, num_epoch, step):
+        engine.train(num_epoch=min(step, num_epoch - i), batch_per_epoch=bpe)
+        path = os.path.join(engine.work_dir, f"model_epoch_{engine.epoch}.ckpt")
+        engine.save(path)
+        metric = engine.evaluate("valid", fast_test=fast_test)
+        result = metric[metric_name]
+        if result > best_result:
+            best_result, best_epoch = result, engine.epoch
+    best = os.path.join(engine.work_dir, f"model_epoch_{best_epoch}.ckpt")
+    logger.info(f"Load best checkpoint from epoch {best_epoch}")
+    engine.load(best)
+
+
+def test(cfg, engine):
+    fast_test = cfg.get("fast_test")
+    engine.evaluate("valid", fast_test=fast_test)
+    if cfg.get("no_test"):
+        return
+    engine.evaluate("test", fast_test=fast_test)
+
+
+def main(argv=None):
+    args, context = parse_args(argv)
+    cfg = load_config(args.config, context=context)[0]
+    work_dir = create_working_directory(
+        cfg.get("output_dir", "./output"),
+        cfg["task"]["class"],
+        str(cfg["dataset"]["class"]),
+        cfg["task"]["model"]["class"],
+    )
+    set_seed(args.seed)
+    logger = get_root_logger(os.path.join(work_dir, "log.txt"))
+    logger.info(f"Config file: {args.config}")
+    logger.info(pprint.pformat(cfg))
+
+    dataset = build_dataset(cfg["dataset"])
+    task = build_task(cfg["task"], dataset, rspmm_impl=cfg.get("rspmm_impl", "auto"),
+                      seed=args.seed)
+    engine = build_engine(cfg, task, work_dir=work_dir, seed=args.seed)
+    if "checkpoint" in cfg and cfg["checkpoint"] not in (None, "null", "None"):
+        engine.load(
+            os.path.expanduser(str(cfg["checkpoint"])),
+            fix_reasoner=bool(cfg.get("fix_reasoner", False)),
+        )
+    train_and_validate(cfg, engine, logger)
+    test(cfg, engine)
+    return engine
+
+
+if __name__ == "__main__":
+    main()

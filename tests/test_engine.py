@@ -1,0 +1,120 @@
+"""End-to-end engine tests on synthetic KGs: training reduces loss, eval
+produces sane metrics, checkpoints round-trip."""
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from ultra_torchdrug_tpu.data.datasets import (
+    JointDataset, synthetic_inductive, synthetic_transductive,
+)
+from ultra_torchdrug_tpu.engine.engine import Engine
+from ultra_torchdrug_tpu.models.nbfnet import entity_nbfnet_config, rel_nbfnet_config
+from ultra_torchdrug_tpu.models.ultra import UltraConfig
+from ultra_torchdrug_tpu.tasks.task import (
+    InductiveKGTask, MultiGraphPretrainTask, TaskConfig, TransductiveKGTask,
+)
+
+
+def tiny_model_cfg(num_relations):
+    return UltraConfig(
+        entity=entity_nbfnet_config(
+            input_dim=8, hidden_dims=(8, 8), num_relations=num_relations * 2
+        ),
+        relation=rel_nbfnet_config(input_dim=8, hidden=8, num_layers=2),
+    )
+
+
+def tiny_task_cfg(**kw):
+    return TaskConfig(num_negative=8, **kw)
+
+
+def test_transductive_train_and_eval(tmp_path):
+    ds = synthetic_transductive(num_nodes=40, num_edges=300, num_relations=5)
+    task = TransductiveKGTask(ds, tiny_model_cfg(ds.num_relations), tiny_task_cfg())
+    eng = Engine(task, batch_size=16, lr=5e-3, work_dir=str(tmp_path), log_interval=1000)
+
+    # capture loss trajectory
+    losses = []
+    orig = task._loss_fn
+    for _ in range(2):
+        eng.train(num_epoch=1, batch_per_epoch=8)
+    m = eng.evaluate("valid")
+    assert 0 < m["mrr"] <= 1
+    assert m["mr"] >= 1
+    assert set(m) >= {"mr", "mrr", "hits@1", "hits@10", "mrr-tail"}
+
+    # checkpoint round trip
+    path = os.path.join(str(tmp_path), "ckpt.pkl")
+    eng.save(path)
+    p_before = jax.tree_util.tree_leaves(eng.params)
+    eng2 = Engine(task, batch_size=16, work_dir=str(tmp_path))
+    eng2.load(path)
+    p_after = jax.tree_util.tree_leaves(eng2.params)
+    for a, b in zip(p_before, p_after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    m2 = eng2.evaluate("valid")
+    assert abs(m2["mrr"] - m["mrr"]) < 1e-6
+
+
+def test_training_improves_loss(tmp_path):
+    ds = synthetic_transductive(num_nodes=30, num_edges=250, num_relations=4)
+    task = TransductiveKGTask(ds, tiny_model_cfg(ds.num_relations), tiny_task_cfg())
+    eng = Engine(task, batch_size=16, lr=1e-2, work_dir=str(tmp_path), log_interval=1000)
+
+    def avg_loss():
+        key = jax.random.PRNGKey(99)
+        tot = 0.0
+        for i in range(4):
+            batch = task.train_triples[i * 16 : (i + 1) * 16]
+            loss, _ = task.loss_step(eng.params, key, batch)
+            tot += float(loss)
+        return tot / 4
+
+    before = avg_loss()
+    eng.train(num_epoch=3, batch_per_epoch=10)
+    after = avg_loss()
+    assert after < before
+
+
+def test_inductive_task(tmp_path):
+    ds = synthetic_inductive()
+    cfg = dataclasses.replace(
+        tiny_task_cfg(), metrics=("mr", "mrr", "hits@1", "hits@10", "hits@10_50")
+    )
+    task = InductiveKGTask(ds, tiny_model_cfg(ds.num_relations), cfg)
+    eng = Engine(task, batch_size=16, work_dir=str(tmp_path), log_interval=1000)
+    eng.train(num_epoch=1, batch_per_epoch=5)
+    m = eng.evaluate("test")
+    assert 0 < m["mrr"] <= 1 and 0 <= m["hits@10_50"] <= 1
+    m_valid = eng.evaluate("valid")
+    assert 0 < m_valid["mrr"] <= 1
+
+
+def test_multigraph_pretraining(tmp_path):
+    graphs = [
+        synthetic_transductive("g0", 30, 220, 4, seed=0),
+        synthetic_transductive("g1", 25, 180, 4, seed=1),
+    ]
+    ds = JointDataset("joint", graphs)
+    cfg = dataclasses.replace(
+        tiny_task_cfg(), metrics=("mr", "mrr", "hits@1", "hits@10")
+    )
+    task = MultiGraphPretrainTask(ds, tiny_model_cfg(4), cfg)
+    eng = Engine(task, batch_size=16, work_dir=str(tmp_path), log_interval=1000)
+    eng.train(num_epoch=1, batch_per_epoch=6)
+    m = eng.evaluate("valid")
+    assert 0 < m["mrr"] <= 1
+    assert set(m["per_graph"]) == {"g0", "g1"}
+
+
+def test_sample_weight_path(tmp_path):
+    ds = synthetic_transductive(num_nodes=30, num_edges=200, num_relations=4)
+    task = TransductiveKGTask(
+        ds, tiny_model_cfg(ds.num_relations), tiny_task_cfg(sample_weight=True)
+    )
+    eng = Engine(task, batch_size=16, work_dir=str(tmp_path), log_interval=1000)
+    eng.train(num_epoch=1, batch_per_epoch=3)  # just runs

@@ -1,0 +1,131 @@
+"""Builders: reference-schema config dicts -> datasets, model configs, tasks,
+engine. Keeps the reference's YAML schema working unchanged
+(/root/reference/config/*/*.yaml; class-name strings included)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+
+from ..data import catalog  # noqa: F401  (registers datasets)
+from ..data.datasets import InductiveDataset, JointDataset, TransductiveDataset
+from ..models.nbfnet import entity_nbfnet_config, rel_nbfnet_config
+from ..models.ultra import UltraConfig
+from ..tasks.task import (
+    DEFAULT_INDUCTIVE_METRICS,
+    DEFAULT_TRANSDUCTIVE_METRICS,
+    InductiveKGTask,
+    MultiGraphPretrainTask,
+    TaskConfig,
+    TransductiveKGTask,
+)
+from ..utils.config import lookup
+from .engine import Engine
+
+
+def resolve_rspmm_impl(requested: str = "auto") -> str:
+    if requested != "auto":
+        return requested
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def build_dataset(cfg_dataset: dict):
+    kwargs = {k: v for k, v in cfg_dataset.items() if k != "class"}
+    cls = lookup(cfg_dataset["class"])
+    return cls(**kwargs)
+
+
+def build_model_config(cfg_task: dict, num_relations: int, rspmm_impl: str = "auto"):
+    impl = resolve_rspmm_impl(rspmm_impl)
+    m = cfg_task["model"]
+    entity = entity_nbfnet_config(
+        input_dim=m["input_dim"],
+        hidden_dims=tuple(m["hidden_dims"]),
+        num_relations=num_relations * 2,
+        message_func=m.get("message_func", "distmult"),
+        aggregate_func=m.get("aggregate_func", "sum"),
+        short_cut=bool(m.get("short_cut", True)),
+        layer_norm=bool(m.get("layer_norm", True)),
+        concat_hidden=bool(m.get("concat_hidden", False)),
+        num_mlp_layer=int(m.get("num_mlp_layer", 2)),
+        project=bool(m.get("project", True)),
+        rspmm_impl=impl,
+    )
+    rm = cfg_task.get("rel_models", {}).get("rel_model", {})
+    relation = rel_nbfnet_config(
+        input_dim=rm.get("input_dim", 64),
+        hidden=rm.get("hidden", 64),
+        num_layers=rm.get("num_layers", 6),
+        rspmm_impl=impl,
+    )
+    return UltraConfig(
+        entity=entity,
+        relation=relation,
+        remove_one_hop=bool(m.get("remove_one_hop", False)),
+    )
+
+
+_TASK_CLASSES = {
+    "KnowledgeGraphCompletionAdapted": TransductiveKGTask,
+    "KnowledgeGraphCompletionBase": TransductiveKGTask,
+    "KnowledgeGraphCompletion": TransductiveKGTask,
+    "InductiveKnowledgeGraphCompletionAdapted": InductiveKGTask,
+    "InductiveKnowledgeGraphCompletion": InductiveKGTask,
+    "MultiGraphPreTraining": MultiGraphPretrainTask,
+}
+
+
+def build_task_config(cfg_task: dict, default_metrics) -> TaskConfig:
+    metric = cfg_task.get("metric")
+    return TaskConfig(
+        num_negative=int(cfg_task.get("num_negative", 128)),
+        adversarial_temperature=float(cfg_task.get("adversarial_temperature", 0.0)),
+        strict_negative=bool(cfg_task.get("strict_negative", True)),
+        filtered_ranking=bool(cfg_task.get("filtered_ranking", True)),
+        criterion=cfg_task.get("criterion", "bce"),
+        margin=float(cfg_task.get("margin", 6.0)),
+        metrics=tuple(metric) if metric else default_metrics,
+        sample_weight=bool(cfg_task.get("sample_weight", False)),
+        fact_ratio=cfg_task.get("fact_ratio"),
+        full_batch_eval=bool(cfg_task.get("full_batch_eval", True)),
+        metric_per_rel=bool(cfg_task.get("metric_per_rel", False)),
+    )
+
+
+def build_task(cfg_task: dict, dataset, rspmm_impl: str = "auto", seed: int = 0):
+    cls_name = cfg_task["class"]
+    task_cls = _TASK_CLASSES[cls_name]
+    if task_cls is MultiGraphPretrainTask:
+        assert isinstance(dataset, JointDataset)
+        num_relations = max(d.num_relations for d in dataset.datasets)
+        defaults = ("mr", "mrr", "hits@1", "hits@3", "hits@10")
+    elif task_cls is InductiveKGTask:
+        assert isinstance(dataset, InductiveDataset)
+        num_relations = dataset.num_relations
+        defaults = DEFAULT_INDUCTIVE_METRICS
+    else:
+        assert isinstance(dataset, TransductiveDataset)
+        num_relations = dataset.num_relations
+        defaults = DEFAULT_TRANSDUCTIVE_METRICS
+    model_cfg = build_model_config(cfg_task, num_relations, rspmm_impl)
+    task_cfg = build_task_config(cfg_task, defaults)
+    if task_cls is TransductiveKGTask:
+        return task_cls(dataset, model_cfg, task_cfg, seed=seed)
+    return task_cls(dataset, model_cfg, task_cfg)
+
+
+def build_engine(cfg: dict, task, work_dir: str = ".", seed: int = 1024) -> Engine:
+    opt = cfg.get("optimizer", {})
+    eng_cfg = cfg.get("engine", {})
+    return Engine(
+        task,
+        batch_size=int(eng_cfg.get("batch_size", 64)),
+        optimizer=opt.get("class", "AdamW"),
+        lr=float(opt.get("lr", 5e-4)),
+        gradient_interval=int(eng_cfg.get("gradient_interval", 1)),
+        log_interval=int(eng_cfg.get("log_interval", 100)),
+        seed=seed,
+        work_dir=work_dir,
+    )

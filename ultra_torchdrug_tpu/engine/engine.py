@@ -1,0 +1,176 @@
+"""Training engine: optimizer loop, evaluation orchestration, checkpoints.
+
+The solver layer of the framework — the role torchdrug's core.Engine plus the
+reference's MultiGraphEngine play (/root/reference/ultra/engine.py): epoch
+loop with batch_per_epoch, gradient accumulation (gradient_interval), meter
+logging, per-split evaluation, model save/load. Device parallelism is a JAX
+mesh (see parallel/), not DDP: the jitted step consumes sharded batches and
+XLA inserts the gradient psums.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..tasks.task import MultiGraphPretrainTask
+from ..utils import checkpoint as ckpt_io
+from ..utils.logging import Meter, get_root_logger
+
+
+def make_optimizer(
+    name: str = "AdamW",
+    lr: float = 5e-4,
+    weight_decay: float = 0.01,
+    gradient_interval: int = 1,
+    clip_grad: Optional[float] = None,
+):
+    name = name.lower()
+    if name == "adamw":
+        tx = optax.adamw(lr, weight_decay=weight_decay)
+    elif name == "adam":
+        tx = optax.adam(lr)
+    elif name == "sgd":
+        tx = optax.sgd(lr)
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    if clip_grad:
+        tx = optax.chain(optax.clip_by_global_norm(clip_grad), tx)
+    if gradient_interval > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=gradient_interval)
+    return tx
+
+
+class Engine:
+    def __init__(
+        self,
+        task,
+        batch_size: int = 64,
+        optimizer: str = "AdamW",
+        lr: float = 5e-4,
+        gradient_interval: int = 1,
+        clip_grad: Optional[float] = None,
+        log_interval: int = 100,
+        seed: int = 1024,
+        work_dir: str = ".",
+        logger=None,
+    ):
+        self.task = task
+        self.batch_size = batch_size
+        self.work_dir = work_dir
+        self.logger = logger or get_root_logger(os.path.join(work_dir, "log.txt"))
+        self.meter = Meter(self.logger, log_interval)
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self.params = task.init_params(self._next_key())
+        self.tx = make_optimizer(optimizer, lr, gradient_interval=gradient_interval,
+                                 clip_grad=clip_grad)
+        self.opt_state = self.tx.init(self.params)
+        self.epoch = 0
+        self._is_multigraph = isinstance(task, MultiGraphPretrainTask)
+        self._step_fns = {}
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # ------------------------------------------------------------------
+
+    def _get_step_fn(self, graph_id):
+        """One jitted (loss+grad+update) per propagation graph."""
+        if graph_id in self._step_fns:
+            return self._step_fns[graph_id]
+
+        def step(params, opt_state, key, batch, sample_weight):
+            def loss_fn(p):
+                if self._is_multigraph:
+                    # the per-graph jitted loss inlines into this jit
+                    return self.task._loss_fns[graph_id](p, key, batch, None)
+                return self.task._loss_fn(p, key, batch, sample_weight)
+
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics = dict(metrics)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return params, opt_state, metrics
+
+        if self._is_multigraph:
+            # ensure the per-graph loss fn exists before jitting the step
+            dummy = np.zeros((self.batch_size, 3), np.int32)
+            self.task.loss_step(self.params, jax.random.PRNGKey(0), dummy, graph_id)
+        fn = jax.jit(step, donate_argnums=(0, 1))
+        self._step_fns[graph_id] = fn
+        return fn
+
+    def train(self, num_epoch: int = 1, batch_per_epoch: Optional[int] = None):
+        task = self.task
+        for _ in range(num_epoch):
+            self.epoch += 1
+            if self._is_multigraph:
+                bpe = batch_per_epoch or 1000
+                for _ in range(bpe):
+                    batch, gid = task.sample_batch(self.rng, self.batch_size)
+                    if len(batch) < self.batch_size:
+                        reps = -(-self.batch_size // len(batch))
+                        batch = np.tile(batch, (reps, 1))[: self.batch_size]
+                    step_fn = self._get_step_fn(gid)
+                    self.params, self.opt_state, metrics = step_fn(
+                        self.params, self.opt_state, self._next_key(),
+                        jnp.asarray(batch), None,
+                    )
+                    self.meter.update(metrics)
+            else:
+                triples = task.train_triples
+                order = self.rng.permutation(len(triples))
+                n_batches = len(order) // self.batch_size
+                bpe = min(batch_per_epoch or n_batches, n_batches) or 1
+                step_fn = self._get_step_fn(0)
+                for i in range(bpe):
+                    idx = order[i * self.batch_size : (i + 1) * self.batch_size]
+                    if len(idx) < self.batch_size:
+                        idx = np.concatenate(
+                            [idx, order[: self.batch_size - len(idx)]]
+                        )
+                    batch = triples[idx]
+                    sw = task.sample_weight_for(batch)
+                    self.params, self.opt_state, metrics = step_fn(
+                        self.params, self.opt_state, self._next_key(),
+                        jnp.asarray(batch), sw,
+                    )
+                    self.meter.update(metrics)
+            self.meter.log_window()
+            self.logger.info(f"epoch {self.epoch} done")
+
+    def evaluate(self, split: str, fast_test: Optional[int] = None):
+        self.logger.info(f"Evaluate on {split}")
+        metrics = self.task.evaluate(
+            self.params, split, self.batch_size, fast_test=fast_test
+        )
+        printable = {k: v for k, v in metrics.items() if not isinstance(v, dict)}
+        self.meter.log_dict(printable, category=f"{split}/epoch {self.epoch}")
+        return metrics
+
+    # ------------------------------------------------------------------
+
+    def save(self, path: str):
+        ckpt_io.save_checkpoint(path, self.params, self.opt_state, self.epoch)
+        self.logger.info(f"Save checkpoint to {path}")
+
+    def load(self, path: str, fix_reasoner: bool = False, drop_optimizer: bool = True):
+        self.logger.info(f"Load checkpoint from {path}")
+        params, opt_state, epoch = ckpt_io.load_checkpoint(
+            path, self.params, None if drop_optimizer else self.opt_state,
+            fix_reasoner=fix_reasoner,
+        )
+        self.params = params
+        if opt_state is not None:
+            self.opt_state = opt_state
+        if epoch is not None and not drop_optimizer:
+            self.epoch = epoch

@@ -1,0 +1,422 @@
+"""Task layer: orchestration of graphs, sampling, loss and evaluation for the
+three task families of the reference (/root/reference/ultra/task.py):
+
+  * TransductiveKGTask   — KnowledgeGraphCompletion(Adapted): one graph; facts
+    = train edges (optionally fact_ratio-thinned); filtered ranking against
+    the full graph.
+  * InductiveKGTask      — Inductive...(Adapted): per-split propagation graphs
+    over disjoint entity vocabularies; eval-graph selection semantics of
+    task.py:435-447; per-split relation graphs.
+  * MultiGraphPretrainTask — MultiGraphPreTraining: per-graph buffers, batches
+    drawn from one graph at a time, per-graph eval averaged across graphs.
+
+All device work happens in pure jit-able functions built per (task, graph);
+the classes hold host-side state (numpy triples, prebuilt Graph pytrees).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.datasets import InductiveDataset, JointDataset, TransductiveDataset
+from ..data.graph import Graph
+from ..data.relgraph import build_relation_graph
+from ..models.ultra import (
+    UltraConfig,
+    ultra_eval_scores,
+    ultra_init,
+    ultra_train_scores,
+)
+from ..ops.match import head_truth_mask, tail_truth_mask
+from ..ops.sampling import strict_negatives
+from .kg import (
+    bce_self_adversarial,
+    cross_entropy_positive,
+    evaluate_ranking,
+    filtered_ranking,
+    margin_ranking,
+)
+
+DEFAULT_TRANSDUCTIVE_METRICS = (
+    "mr", "mrr", "hits@1", "hits@3", "hits@10",
+    "mrr-tail", "hits@1-tail", "hits@10-tail",
+)
+DEFAULT_INDUCTIVE_METRICS = ("mr", "mrr", "hits@1", "hits@3", "hits@10", "hits@10_50")
+
+
+@dataclasses.dataclass(frozen=True)
+class TaskConfig:
+    num_negative: int = 128
+    adversarial_temperature: float = 1.0
+    strict_negative: bool = True
+    filtered_ranking: bool = True
+    criterion: str = "bce"
+    margin: float = 6.0
+    metrics: Sequence[str] = DEFAULT_TRANSDUCTIVE_METRICS
+    sample_weight: bool = False
+    fact_ratio: Optional[float] = None
+    full_batch_eval: bool = True
+    metric_per_rel: bool = False
+
+
+def _criterion_loss(cfg: TaskConfig, scores, sample_weight=None):
+    if cfg.criterion == "bce":
+        return bce_self_adversarial(
+            scores, cfg.adversarial_temperature, sample_weight
+        )
+    if cfg.criterion == "ce":
+        return cross_entropy_positive(scores)
+    if cfg.criterion == "ranking":
+        return margin_ranking(scores, cfg.margin)
+    raise ValueError(f"unknown criterion {cfg.criterion!r}")
+
+
+def _degree_weights(train: np.ndarray, num_entities: int, num_relations: int):
+    """sample_weight degree tables (task.py:50-57)."""
+    deg_hr = np.zeros((num_entities, num_relations), np.int64)
+    deg_tr = np.zeros((num_entities, num_relations), np.int64)
+    np.add.at(deg_hr, (train[:, 0], train[:, 2]), 1)
+    np.add.at(deg_tr, (train[:, 1], train[:, 2]), 1)
+    return deg_hr, deg_tr
+
+
+class _TaskBase:
+    """Shared machinery: loss step + all-entity eval step builders."""
+
+    model_cfg: UltraConfig
+    cfg: TaskConfig
+
+    def init_params(self, key):
+        return ultra_init(key, self.model_cfg)
+
+    # -- builders ----------------------------------------------------------
+
+    def _build_loss_fn(self, fact_graph: Graph, rel_graph: Graph, num_nodes: int):
+        cfg = self.cfg
+
+        def loss_fn(params, key, batch, sample_weight=None):
+            h, t, r = batch[:, 0], batch[:, 1], batch[:, 2]
+            if cfg.strict_negative:
+                neg = strict_negatives(
+                    key, fact_graph.edge_list, h, t, r, num_nodes, cfg.num_negative
+                )
+            else:
+                neg = jax.random.randint(
+                    key, (batch.shape[0], cfg.num_negative), 0, num_nodes
+                )
+            scores = ultra_train_scores(
+                params, self.model_cfg, fact_graph, rel_graph, h, t, r, neg
+            )
+            loss = _criterion_loss(cfg, scores, sample_weight)
+            metrics = {
+                "loss": loss,
+                "pos_score": scores[:, 0].mean(),
+                "neg_score": scores[:, 1:].mean(),
+            }
+            return loss, metrics
+
+        return loss_fn
+
+    def _build_eval_fn(self, fact_graph: Graph, rel_graph: Graph, filter_graph: Graph):
+        """Returns fn(params, batch[B,3]) ->
+        (ranking [B,2] int32, num_candidates [B,2] float32)."""
+        cfg = self.cfg
+        V = fact_graph.num_nodes
+
+        def eval_fn(params, batch):
+            h, t, r = batch[:, 0], batch[:, 1], batch[:, 2]
+            t_scores, h_scores = ultra_eval_scores(
+                params, self.model_cfg, fact_graph, rel_graph, h, t, r
+            )
+            t_truth = tail_truth_mask(filter_graph.edge_list, h, r, V)
+            h_truth = head_truth_mask(filter_graph.edge_list, t, r, V)
+            t_rank = filtered_ranking(t_scores, t, t_truth, cfg.filtered_ranking)
+            h_rank = filtered_ranking(h_scores, h, h_truth, cfg.filtered_ranking)
+            ranking = jnp.stack([t_rank, h_rank], axis=1)
+            num_cand = jnp.stack(
+                [(~t_truth).sum(-1), (~h_truth).sum(-1)], axis=1
+            ).astype(jnp.float32)
+            return ranking, num_cand
+
+        return eval_fn
+
+    # -- host-side eval loop ----------------------------------------------
+
+    def _run_eval(self, eval_fn, params, triples: np.ndarray, batch_size: int):
+        """Pad-to-batch eval loop; returns (ranking, num_cand) numpy [N,2]."""
+        n = len(triples)
+        rankings, cands = [], []
+        for start in range(0, n, batch_size):
+            chunk = triples[start : start + batch_size]
+            pad = batch_size - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[:1], pad, 0)], 0)
+            ranking, num_cand = eval_fn(params, jnp.asarray(chunk))
+            rankings.append(np.asarray(ranking)[: batch_size - pad])
+            cands.append(np.asarray(num_cand)[: batch_size - pad])
+        return np.concatenate(rankings, 0), np.concatenate(cands, 0)
+
+    def _metrics_from_rankings(
+        self, ranking: np.ndarray, num_cand: np.ndarray, rel: Optional[np.ndarray]
+    ) -> Dict[str, float]:
+        kwargs = {}
+        if self.cfg.metric_per_rel and rel is not None:
+            kwargs = dict(
+                rel_index=jnp.asarray(rel),
+                num_relations=self.num_relations * 2,
+            )
+        m = evaluate_ranking(
+            jnp.asarray(ranking),
+            self.cfg.metrics,
+            num_candidates=jnp.asarray(num_cand),
+            **kwargs,
+        )
+        return {k: float(v) for k, v in m.items()}
+
+
+# ---------------------------------------------------------------------------
+
+
+class TransductiveKGTask(_TaskBase):
+    def __init__(
+        self,
+        dataset: TransductiveDataset,
+        model_cfg: UltraConfig,
+        cfg: TaskConfig = TaskConfig(),
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.model_cfg = model_cfg
+        self.cfg = cfg
+        self.num_relations = dataset.num_relations
+        self.fact_graph, self.train_triples = dataset.fact_graph(
+            cfg.fact_ratio, seed=seed
+        )
+        self.rel_graph = build_relation_graph(self.fact_graph)
+        self.graph = dataset.graph  # filter graph
+        if cfg.sample_weight:
+            self.deg_hr, self.deg_tr = _degree_weights(
+                self.train_triples, dataset.num_entities, dataset.num_relations
+            )
+        self._loss_fn = jax.jit(
+            self._build_loss_fn(
+                self.fact_graph, self.rel_graph, dataset.num_entities
+            )
+        )
+        self._eval_fn = jax.jit(
+            self._build_eval_fn(self.fact_graph, self.rel_graph, self.graph)
+        )
+
+    def sample_weight_for(self, batch: np.ndarray):
+        if not self.cfg.sample_weight:
+            return None
+        w = (
+            self.deg_hr[batch[:, 0], batch[:, 2]]
+            * self.deg_tr[batch[:, 1], batch[:, 2]]
+        )
+        return jnp.asarray(1.0 / np.sqrt(np.maximum(w, 1)), jnp.float32)
+
+    def loss_step(self, params, key, batch: np.ndarray):
+        return self._loss_fn(
+            params, key, jnp.asarray(batch), self.sample_weight_for(batch)
+        )
+
+    def eval_triples(self, split: str) -> np.ndarray:
+        return {"valid": self.dataset.valid, "test": self.dataset.test}[split]
+
+    def evaluate(self, params, split: str, batch_size: int, fast_test=None):
+        triples = self.eval_triples(split)
+        if fast_test:
+            g = np.random.default_rng(1024)
+            triples = triples[g.permutation(len(triples))[:fast_test]]
+        ranking, cand = self._run_eval(self._eval_fn, params, triples, batch_size)
+        rel = np.stack([triples[:, 2], triples[:, 2] + self.num_relations], 1)
+        return self._metrics_from_rankings(ranking, cand, rel)
+
+
+# ---------------------------------------------------------------------------
+
+
+class InductiveKGTask(_TaskBase):
+    def __init__(
+        self,
+        dataset: InductiveDataset,
+        model_cfg: UltraConfig,
+        cfg: TaskConfig = dataclasses.replace(
+            TaskConfig(), metrics=DEFAULT_INDUCTIVE_METRICS
+        ),
+    ):
+        self.dataset = dataset
+        self.model_cfg = model_cfg
+        self.cfg = cfg
+        self.num_relations = dataset.num_relations
+        self.train_triples = dataset.train
+
+        self.graphs = {
+            "train": dataset.train_graph,
+            "valid": dataset.valid_graph,
+            "test": dataset.test_graph,
+        }
+        self.rel_graphs = {
+            split: build_relation_graph(g) for split, g in self.graphs.items()
+        }
+        # eval filter-graph selection (task.py:435-447): valid uses the
+        # transductive filter graph iff the valid propagation graph is the
+        # train graph (use_inductive_valid = no)
+        valid_is_train = (
+            dataset.valid_graph.num_edges == dataset.train_graph.num_edges
+            and bool(
+                np.array_equal(
+                    np.asarray(dataset.valid_graph.edge_list),
+                    np.asarray(dataset.train_graph.edge_list),
+                )
+            )
+        )
+        self.filter_graphs = {
+            "train": dataset.graph,
+            "valid": dataset.graph if valid_is_train else dataset.inductive_graph,
+            "test": dataset.inductive_graph,
+        }
+        if cfg.sample_weight:
+            self.deg_hr, self.deg_tr = _degree_weights(
+                dataset.train, dataset.train_graph.num_nodes, dataset.num_relations
+            )
+        self._loss_fn = jax.jit(
+            self._build_loss_fn(
+                dataset.train_graph,
+                self.rel_graphs["train"],
+                dataset.train_graph.num_nodes,
+            )
+        )
+        self._eval_fns = {
+            split: jax.jit(
+                self._build_eval_fn(
+                    self.graphs[split], self.rel_graphs[split],
+                    self.filter_graphs[split],
+                )
+            )
+            for split in ("valid", "test")
+        }
+
+    def sample_weight_for(self, batch: np.ndarray):
+        if not self.cfg.sample_weight:
+            return None
+        w = (
+            self.deg_hr[batch[:, 0], batch[:, 2]]
+            * self.deg_tr[batch[:, 1], batch[:, 2]]
+        )
+        return jnp.asarray(1.0 / np.sqrt(np.maximum(w, 1)), jnp.float32)
+
+    def loss_step(self, params, key, batch: np.ndarray):
+        return self._loss_fn(
+            params, key, jnp.asarray(batch), self.sample_weight_for(batch)
+        )
+
+    def eval_triples(self, split: str) -> np.ndarray:
+        return {"valid": self.dataset.valid, "test": self.dataset.test}[split]
+
+    def evaluate(self, params, split: str, batch_size: int, fast_test=None):
+        triples = self.eval_triples(split)
+        if fast_test:
+            g = np.random.default_rng(1024)
+            triples = triples[g.permutation(len(triples))[:fast_test]]
+        ranking, cand = self._run_eval(
+            self._eval_fns[split], params, triples, batch_size
+        )
+        # inductive per-relation uses the base relation id for both directions
+        # (task.py:456-458)
+        rel = np.stack([triples[:, 2], triples[:, 2]], 1)
+        return self._metrics_from_rankings(ranking, cand, rel)
+
+
+# ---------------------------------------------------------------------------
+
+
+class MultiGraphPretrainTask(_TaskBase):
+    def __init__(
+        self,
+        dataset: JointDataset,
+        model_cfg: UltraConfig,
+        cfg: TaskConfig = dataclasses.replace(
+            TaskConfig(), metrics=("mr", "mrr", "hits@1", "hits@3", "hits@10")
+        ),
+    ):
+        self.dataset = dataset
+        self.model_cfg = model_cfg
+        self.cfg = cfg
+        self.graphs: List[Graph] = []  # full graphs (filtering)
+        self.fact_graphs: List[Graph] = []  # train-edge graphs (propagation)
+        self.rel_graphs: List[Graph] = []
+        self.train_triples: List[np.ndarray] = []
+        for ds in dataset.datasets:
+            fact, train = ds.fact_graph(None)
+            self.graphs.append(ds.graph)
+            self.fact_graphs.append(fact)
+            self.rel_graphs.append(build_relation_graph(fact))
+            self.train_triples.append(train)
+        self.num_graphs = len(self.graphs)
+        self.num_relations = max(g.num_relations for g in self.graphs)
+        self._loss_fns = {}
+        self._eval_fns = {}
+
+    # edge-count-weighted graph choice (engine.py:23-28)
+    def sample_graph_id(self, rng: np.random.Generator) -> int:
+        probs = np.array([g.num_edges for g in self.fact_graphs], np.float64)
+        probs /= probs.sum()
+        return int(rng.choice(self.num_graphs, p=probs))
+
+    def sample_batch(self, rng: np.random.Generator, batch_size: int):
+        gid = self.sample_graph_id(rng)
+        edges = self.train_triples[gid]
+        idx = rng.permutation(len(edges))[:batch_size]
+        return edges[idx], gid
+
+    def loss_step(self, params, key, batch: np.ndarray, graph_id: int):
+        if graph_id not in self._loss_fns:
+            self._loss_fns[graph_id] = jax.jit(
+                self._build_loss_fn(
+                    self.fact_graphs[graph_id],
+                    self.rel_graphs[graph_id],
+                    self.fact_graphs[graph_id].num_nodes,
+                )
+            )
+        return self._loss_fns[graph_id](params, key, jnp.asarray(batch), None)
+
+    def eval_sets(self, split: str):
+        """[(graph_name, graph_id, triples)] for the given split."""
+        out = []
+        for gid, ds in enumerate(self.dataset.datasets):
+            triples = {"valid": ds.valid, "test": ds.test}[split]
+            out.append((ds.name, gid, triples))
+        return out
+
+    def evaluate(self, params, split: str, batch_size: int, fast_test=None):
+        all_metrics = []
+        per_graph = {}
+        for name, gid, triples in self.eval_sets(split):
+            if fast_test:
+                g = np.random.default_rng(1024)
+                triples = triples[g.permutation(len(triples))[:fast_test]]
+            if gid not in self._eval_fns:
+                self._eval_fns[gid] = jax.jit(
+                    self._build_eval_fn(
+                        self.fact_graphs[gid], self.rel_graphs[gid], self.graphs[gid]
+                    )
+                )
+            ranking, cand = self._run_eval(
+                self._eval_fns[gid], params, triples, batch_size
+            )
+            m = self._metrics_from_rankings(ranking, cand, None)
+            per_graph[name] = m
+            all_metrics.append(m)
+        avg = {
+            k: float(np.mean([m[k] for m in all_metrics])) for k in all_metrics[0]
+        }
+        avg["per_graph"] = per_graph
+        return avg

@@ -1,0 +1,205 @@
+"""Checkpointing: native format + one-way importer for the reference's
+torch ``.pth`` checkpoints (so td_ultra_3g/4g zero-shot parity runs work).
+
+Native format: a pickle of numpy-ified parameter/optimizer pytrees (graphs
+are environment, not weights — they are never serialized, matching the
+reference's clean_save buffer scrubbing at /root/reference/ultra/util.py:278-325).
+
+fix_reasoner load semantics (util.py:249-259): keep the *current* model's
+relation-projection / relation-embedding / query weights while loading
+everything else (frozen-reasoner fine-tuning).
+"""
+
+from __future__ import annotations
+
+import pickle
+import re
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_REASONER_PATTERNS = ("relation.weight", "relation_projection", "relation_linear", "query.weight")
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def _to_device(tree):
+    return jax.tree_util.tree_map(jnp.asarray, tree)
+
+
+def save_checkpoint(path: str, params, opt_state=None, epoch: int = 0):
+    state = {
+        "params": _to_numpy(params),
+        "opt_state": _to_numpy(opt_state) if opt_state is not None else None,
+        "epoch": epoch,
+        "format": "ultra_tpu_v1",
+    }
+    with open(path, "wb") as f:
+        pickle.dump(state, f)
+
+
+def load_checkpoint(
+    path: str,
+    params_template,
+    opt_state_template=None,
+    fix_reasoner: bool = False,
+) -> Tuple[Any, Any, Optional[int]]:
+    if path.endswith(".pth"):
+        params = import_torch_checkpoint(
+            path, params_template, fix_reasoner=fix_reasoner
+        )
+        return params, None, None
+    with open(path, "rb") as f:
+        state = pickle.load(f)
+    params = state["params"]
+    if fix_reasoner:
+        params = _keep_reasoner_weights(params, params_template)
+    # validate structure against the template
+    t1 = jax.tree_util.tree_structure(params_template)
+    t2 = jax.tree_util.tree_structure(params)
+    if t1 != t2:
+        raise ValueError(f"checkpoint structure mismatch:\n{t2}\nvs template\n{t1}")
+    opt_state = None
+    if opt_state_template is not None and state.get("opt_state") is not None:
+        try:
+            opt_state = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(opt_state_template),
+                [jnp.asarray(x) for x in jax.tree_util.tree_leaves(state["opt_state"])],
+            )
+        except Exception:
+            opt_state = None  # different optimizer config: fresh state
+    return _to_device(params), opt_state, state.get("epoch")
+
+
+def _flatten_with_paths(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten_with_paths(v, f"{prefix}{k}."))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten_with_paths(v, f"{prefix}{i}."))
+    else:
+        out[prefix[:-1]] = tree
+    return out
+
+
+def _keep_reasoner_weights(loaded, current):
+    """Replace reasoner-related leaves of `loaded` with those of `current`."""
+
+    def visit(l, c, path=""):
+        if isinstance(l, dict):
+            return {k: visit(l[k], c[k], f"{path}{k}.") for k in l}
+        if isinstance(l, (list, tuple)):
+            t = [visit(a, b, f"{path}{i}.") for i, (a, b) in enumerate(zip(l, c))]
+            return type(l)(t) if isinstance(l, tuple) else t
+        norm = path[:-1].replace("scale", "weight")
+        if any(pat.split(".")[0] in norm for pat in ("relation_projection", "relation_linear")) or \
+           norm.endswith("relation.weight") or norm.endswith("query.weight"):
+            return c
+        return l
+    return visit(loaded, current)
+
+
+# ---------------------------------------------------------------------------
+# torch .pth importer
+# ---------------------------------------------------------------------------
+
+
+def import_torch_checkpoint(path: str, params_template, fix_reasoner: bool = False):
+    """Map the reference's state-dict layout onto our parameter tree.
+
+    Reference keys (MultiGraphPreTraining / *Adapted task state dicts):
+      model.layers.{i}.linear.{weight,bias}            -> entity.layers[i].linear
+      model.layers.{i}.layer_norm.{weight,bias}        -> entity.layers[i].layer_norm
+      model.layers.{i}.relation_projection.layers.{j}.* -> entity.layers[i].relation_projection.layers[j]
+      model.mlp.layers.{j}.{weight,bias}               -> entity.mlp.layers[j]
+      rel_models.0.model.layers.{i}.linear.*           -> relation.layers[i].linear
+      rel_models.0.model.layers.{i}.layer_norm.*       -> relation.layers[i].layer_norm
+      rel_models.0.model.layers.{i}.relation.weight    -> relation.layers[i].relation.weight
+    Ignored: dist_embed, rel-tower mlp (dead code in the reference forward),
+    graph buffers, DDP "module." prefixes.
+    """
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=False)
+    sd = state["model"] if isinstance(state, dict) and "model" in state else state
+    sd = {re.sub(r"^module\.", "", k): v for k, v in sd.items()}
+
+    params = jax.tree_util.tree_map(lambda x: np.array(x), params_template)
+
+    def assign(dst_parts, value, transpose=False):
+        node = params
+        for p in dst_parts[:-1]:
+            node = node[p]
+        value = np.asarray(value.detach().numpy(), np.float32)
+        if transpose:
+            value = value.T
+        want = node[dst_parts[-1]].shape
+        if value.shape != want:
+            raise ValueError(
+                f"shape mismatch for {dst_parts}: ckpt {value.shape} vs {want}"
+            )
+        node[dst_parts[-1]] = value
+
+    unmatched = []
+    for key, value in sd.items():
+        if not hasattr(value, "detach"):
+            continue
+        if fix_reasoner and any(p in key for p in _REASONER_PATTERNS):
+            continue
+        m = re.match(r"model\.layers\.(\d+)\.linear\.(weight|bias)$", key)
+        if m:
+            i, wb = int(m.group(1)), m.group(2)
+            assign(["entity", "layers", i, "linear", "w" if wb == "weight" else "b"],
+                   value, transpose=(wb == "weight"))
+            continue
+        m = re.match(r"model\.layers\.(\d+)\.layer_norm\.(weight|bias)$", key)
+        if m:
+            i, wb = int(m.group(1)), m.group(2)
+            assign(["entity", "layers", i, "layer_norm",
+                    "scale" if wb == "weight" else "bias"], value)
+            continue
+        m = re.match(
+            r"model\.layers\.(\d+)\.relation_projection\.layers\.(\d+)\.(weight|bias)$",
+            key,
+        )
+        if m:
+            i, j, wb = int(m.group(1)), int(m.group(2)), m.group(3)
+            assign(["entity", "layers", i, "relation_projection", "layers", j,
+                    "w" if wb == "weight" else "b"], value, transpose=(wb == "weight"))
+            continue
+        m = re.match(r"model\.mlp\.layers\.(\d+)\.(weight|bias)$", key)
+        if m:
+            j, wb = int(m.group(1)), m.group(2)
+            assign(["entity", "mlp", "layers", j, "w" if wb == "weight" else "b"],
+                   value, transpose=(wb == "weight"))
+            continue
+        m = re.match(r"rel_models\.0\.model\.layers\.(\d+)\.linear\.(weight|bias)$", key)
+        if m:
+            i, wb = int(m.group(1)), m.group(2)
+            assign(["relation", "layers", i, "linear", "w" if wb == "weight" else "b"],
+                   value, transpose=(wb == "weight"))
+            continue
+        m = re.match(r"rel_models\.0\.model\.layers\.(\d+)\.layer_norm\.(weight|bias)$", key)
+        if m:
+            i, wb = int(m.group(1)), m.group(2)
+            assign(["relation", "layers", i, "layer_norm",
+                    "scale" if wb == "weight" else "bias"], value)
+            continue
+        m = re.match(r"rel_models\.0\.model\.layers\.(\d+)\.relation\.weight$", key)
+        if m:
+            assign(["relation", "layers", int(m.group(1)), "relation", "weight"], value)
+            continue
+        if re.search(r"dist_embed|rel_models\.0\.model\.mlp|graph|query\.weight", key):
+            continue
+        unmatched.append(key)
+    if unmatched:
+        import warnings
+
+        warnings.warn(f"unmatched checkpoint keys: {unmatched}")
+    return _to_device(params)

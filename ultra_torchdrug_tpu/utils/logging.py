@@ -1,0 +1,82 @@
+"""Run logging: console + log.txt in the working directory, windowed meter.
+
+Mirrors the reference's logging surface (/root/reference/ultra/util.py:91-101
+root logger; torchdrug core.Meter epoch/step averaging used at
+/root/reference/ultra/engine.py:63,91,153) without the torchdrug dependency.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+from collections import defaultdict
+
+
+def get_root_logger(log_file: str | None = "log.txt") -> logging.Logger:
+    logger = logging.getLogger("ultra_tpu")
+    logger.setLevel(logging.INFO)
+    if logger.handlers:
+        return logger
+    fmt = logging.Formatter("%(asctime)-10s %(message)s", "%H:%M:%S")
+    sh = logging.StreamHandler(sys.stderr)
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    if log_file:
+        fh = logging.FileHandler(log_file)
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    return logger
+
+
+class Meter:
+    """Accumulates step metrics; reports window averages every log_interval
+    updates and epoch summaries on demand."""
+
+    def __init__(self, logger: logging.Logger, log_interval: int = 100):
+        self.logger = logger
+        self.log_interval = log_interval
+        self.reset()
+        self.epoch = 0
+        self.global_step = 0
+
+    def reset(self):
+        self._sums = defaultdict(float)
+        self._count = 0
+        self._t0 = time.time()
+
+    def update(self, metrics: dict):
+        self.global_step += 1
+        for k, v in metrics.items():
+            self._sums[k] += float(v)
+        self._count += 1
+        if self._count % self.log_interval == 0:
+            self.log_window()
+
+    def log_window(self):
+        if not self._count:
+            return
+        dt = time.time() - self._t0
+        rate = self._count / dt if dt > 0 else 0.0
+        parts = [f"{k}: {v / self._count:.6g}" for k, v in sorted(self._sums.items())]
+        self.logger.info(
+            f"step {self.global_step} | {' | '.join(parts)} | {rate:.2f} it/s"
+        )
+        self.reset()
+
+    def log_dict(self, metrics: dict, category: str = ""):
+        prefix = f"[{category}] " if category else ""
+        for k in sorted(metrics):
+            self.logger.info(f"{prefix}{k}: {float(metrics[k]):.6g}")
+
+
+def create_working_directory(output_dir: str, *names: str) -> str:
+    """output_dir/<name pieces>/<timestamp> — the reference's layout
+    (util.py:104-128). Single-process (multi-host rendezvous goes through
+    jax.distributed, not a shared-FS file dance)."""
+    path = os.path.join(
+        os.path.expanduser(output_dir), *names, time.strftime("%Y-%m-%d-%H-%M-%S")
+    )
+    os.makedirs(path, exist_ok=True)
+    return path
