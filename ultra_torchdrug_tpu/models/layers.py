@@ -53,6 +53,7 @@ class ConvConfig:
     rel_mode: str = "injected"  # embedding | dependent | injected
     project: bool = True  # injected mode: per-layer MLP on relation vectors
     rspmm_impl: str = "xla"  # xla | pallas
+    edge_axis: str = ""  # mesh axis name for edge partitioning ("" = off)
 
 
 def conv_init(key, cfg: ConvConfig) -> dict:
@@ -152,6 +153,17 @@ def conv_apply(
             assert agg in ("add", "max", "min")
             return _rotate_messages_aggregate(graph, relation, xx, agg)
         msg = {"transe": "add", "distmult": "mul"}[cfg.message_func]
+        if cfg.edge_axis and agg == "add" and not edge_grad:
+            from ..parallel.mesh import current_mesh
+            from ..parallel.sharded_rspmm import sharded_rspmm
+
+            mesh = current_mesh()
+            if mesh is not None and cfg.edge_axis in mesh.axis_names:
+                return sharded_rspmm(
+                    graph.edge_index, graph.edge_type, graph.edge_weight,
+                    relation, xx, msg=msg, num_nodes=graph.num_nodes,
+                    mesh=mesh, axis=cfg.edge_axis, impl=cfg.rspmm_impl,
+                )
         return generalized_rspmm(
             graph.edge_index,
             graph.edge_type,

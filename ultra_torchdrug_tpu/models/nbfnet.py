@@ -51,6 +51,7 @@ class NBFNetConfig:
     rel_mode: str = "injected"
     project: bool = True
     rspmm_impl: str = "xla"
+    edge_axis: str = ""
 
     def layer_configs(self):
         dims = [self.input_dim] + list(self.hidden_dims)
@@ -67,6 +68,7 @@ class NBFNetConfig:
                 rel_mode=self.rel_mode,
                 project=self.project,
                 rspmm_impl=self.rspmm_impl,
+                edge_axis=self.edge_axis,
             )
             for i in range(len(dims) - 1)
         ]
@@ -106,7 +108,8 @@ def _propagate(
 
 
 def rel_nbfnet_config(
-    input_dim: int = 64, hidden: int = 64, num_layers: int = 6, rspmm_impl: str = "xla"
+    input_dim: int = 64, hidden: int = 64, num_layers: int = 6,
+    rspmm_impl: str = "xla", edge_axis: str = "",
 ) -> NBFNetConfig:
     """The fixed architecture RelNBFNet instantiates (rel_model.py:392-400):
     sum aggregation, layer_norm, short_cut, 4 relation types, distmult."""
@@ -121,6 +124,7 @@ def rel_nbfnet_config(
         rel_mode="embedding",
         project=False,
         rspmm_impl=rspmm_impl,
+        edge_axis=edge_axis,
     )
 
 
@@ -171,6 +175,7 @@ def entity_nbfnet_config(
         rel_mode="injected",
         project=kw.get("project", True),
         rspmm_impl=rspmm_impl,
+        edge_axis=kw.get("edge_axis", ""),
     )
 
 

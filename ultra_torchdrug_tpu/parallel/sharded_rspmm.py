@@ -1,0 +1,101 @@
+"""Edge-partitioned relational SpMM: the multi-chip scaling path.
+
+The reference replicates the full graph on every rank (SURVEY.md §2c); here the
+edge list is sharded across the mesh's "edge" axis. Each chip aggregates its
+local edge shard into a full [V, B, D] partial and partials are combined with
+``psum`` over ICI. The custom VJP mirrors the single-chip op: d_input is the
+transposed local SpMM (+psum), d_relation the local segment-by-relation SDDMM
+(+psum) — so gradients are exact while every collective is an ICI all-reduce.
+
+Usage: the conv layer routes here when an edge-sharded mesh is active
+(parallel.mesh.use_mesh) and the graph's edge arrays are sharded with
+PartitionSpec("edge"). Works with both the XLA segment-op implementation and
+(on TPU) the Pallas kernel inside the shard_map body.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.rspmm import _rspmm_xla
+
+
+@lru_cache(maxsize=None)
+def _make_sharded_rspmm(msg: str, num_nodes: int, mesh: Mesh, axis: str, impl: str):
+    """Edge-sharded rspmm with custom VJP; cached for stable jit identity."""
+    espec = P(axis)
+    rep = P()
+
+    def local_fwd(edge_index, edge_type, edge_weight, relation, x):
+        partial = _rspmm_xla(
+            edge_index, edge_type, edge_weight, relation, x,
+            msg=msg, agg="add", num_nodes=num_nodes,
+        )
+        return jax.lax.psum(partial, axis)
+
+    fwd_sm = shard_map(
+        local_fwd,
+        mesh=mesh,
+        in_specs=(espec, espec, espec, rep, rep),
+        out_specs=rep,
+        check_vma=False,
+    )
+
+    def local_bwd(edge_index, edge_type, edge_weight, relation, x, g):
+        rev = edge_index[:, ::-1]
+        dx = _rspmm_xla(
+            rev, edge_type, edge_weight, relation, g,
+            msg="mul" if msg == "mul" else "none",
+            agg="add", num_nodes=x.shape[0],
+        )
+        src, dst = edge_index[:, 0], edge_index[:, 1]
+        dr_e = x[src] * g[dst] if msg == "mul" else g[dst]
+        wshape = (-1,) + (1,) * (dr_e.ndim - 1)
+        dr = jax.ops.segment_sum(
+            dr_e * edge_weight.reshape(wshape), edge_type,
+            num_segments=relation.shape[0],
+        )
+        if relation.ndim < dr.ndim:
+            dr = dr.sum(axis=tuple(range(1, dr.ndim - relation.ndim + 1)))
+        return jax.lax.psum(dr, axis), jax.lax.psum(dx, axis)
+
+    bwd_sm = shard_map(
+        local_bwd,
+        mesh=mesh,
+        in_specs=(espec, espec, espec, rep, rep, rep),
+        out_specs=(rep, rep),
+        check_vma=False,
+    )
+
+    @jax.custom_vjp
+    def rspmm(edge_index, edge_type, edge_weight, relation, x):
+        return fwd_sm(edge_index, edge_type, edge_weight, relation, x)
+
+    def vjp_fwd(edge_index, edge_type, edge_weight, relation, x):
+        out = fwd_sm(edge_index, edge_type, edge_weight, relation, x)
+        return out, (edge_index, edge_type, edge_weight, relation, x)
+
+    def vjp_bwd(res, g):
+        edge_index, edge_type, edge_weight, relation, x = res
+        dr, dx = bwd_sm(edge_index, edge_type, edge_weight, relation, x, g)
+        zero_i = jnp.zeros(edge_index.shape, dtype=jax.dtypes.float0)
+        zero_t = jnp.zeros(edge_type.shape, dtype=jax.dtypes.float0)
+        return zero_i, zero_t, jnp.zeros_like(edge_weight), dr, dx
+
+    rspmm.defvjp(vjp_fwd, vjp_bwd)
+    return rspmm
+
+
+def sharded_rspmm(
+    edge_index, edge_type, edge_weight, relation, x,
+    *, msg: str, num_nodes: int, mesh: Mesh, axis: str = "edge", impl: str = "xla",
+):
+    """AGG='add' edge-partitioned rspmm. Edge arrays must be divisible by the
+    edge-axis size (pad with weight-0 edges)."""
+    fn = _make_sharded_rspmm(msg, int(num_nodes), mesh, axis, impl)
+    return fn(edge_index, edge_type, edge_weight, relation, x)
