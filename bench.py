@@ -1,0 +1,116 @@
+"""Headline benchmark: rspmm fwd+bwd edges/s per chip (BASELINE.json metric).
+
+Runs the fused Pallas relational-SpMM (distmult message, sum aggregation — the
+configuration every shipped ULTRA config uses) on an FB15k237-pretrain-scale
+synthetic workload: V=15k entities, E=544k undirected edges, feature width
+B*D = 64*64 = 4096 (batch 64 of 64-dim states, the pretrain_3g setting).
+
+One forward + backward (3 rspmm-shaped reductions) counts as one edge-visit
+unit, matching how the reference's CUDA kernel is exercised per training step.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "edges/s", "vs_baseline": ...}
+vs_baseline = speedup over the XLA segment-op implementation of the same op on
+the same chip (the no-custom-kernel baseline, i.e. what torch_scatter-style
+scatter ops give you).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_workload(V=15000, E=544 * 1024, R=474, B=64, D=64, seed=0):
+    rng = np.random.default_rng(seed)
+    triplets = np.stack(
+        [rng.integers(0, V, E), rng.integers(0, V, E), rng.integers(0, R, E)],
+        axis=1,
+    ).astype(np.int32)
+    rel = rng.normal(size=(R, D)).astype(np.float32) * 0.1
+    x = rng.normal(size=(V, B, D)).astype(np.float32) * 0.1
+    return triplets, rel, x
+
+
+def bench_impl(impl, triplets, rel, x, V, R, chain=4, repeats=3):
+    import jax
+    import jax.numpy as jnp
+
+    from ultra_torchdrug_tpu.data.graph import Graph
+    from ultra_torchdrug_tpu.ops.rspmm import generalized_rspmm
+
+    g = Graph.from_triplets(triplets, V, R)
+    layouts = None
+    if impl == "pallas":
+        g = g.prepare_pallas()
+        layouts = g.layouts
+    ei, et, w = g.edge_index, g.edge_type, g.edge_weight
+    relation = jnp.asarray(rel)
+    x0 = jnp.asarray(x)
+
+    def loss(xx, relation):
+        out = generalized_rspmm(
+            ei, et, w, relation, xx, msg="mul", agg="add",
+            num_nodes=V, impl=impl, layouts=layouts,
+        )
+        return jnp.sum(out * out), out
+
+    grad_fn = jax.value_and_grad(lambda xx, rr: loss(xx, rr)[0], argnums=(0, 1))
+
+    @jax.jit
+    def chain_fn(xx, relation):
+        # chain steps so one dispatch covers `chain` fwd+bwd executions
+        for _ in range(chain):
+            (l, (gx, gr)) = grad_fn(xx, relation)
+            xx = xx + 1e-12 * gx
+            relation = relation + 1e-12 * gr
+        return xx, relation
+
+    out = chain_fn(x0, relation)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        out = chain_fn(x0, relation)
+        jax.block_until_ready(out)
+        best = min(best, time.time() - t0)
+    per_step = best / chain  # one fwd+bwd
+    E = triplets.shape[0]
+    return E / per_step, per_step
+
+
+def main():
+    import jax
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    triplets, rel, x = build_workload()
+    V, R = 15000, 474
+    E = triplets.shape[0]
+
+    impl = "pallas" if on_tpu else "xla"
+    edges_per_s, per_step = bench_impl(impl, triplets, rel, x, V, R)
+
+    # baseline: XLA segment-op implementation on the same backend
+    base_edges_per_s, base_step = bench_impl(
+        "xla", triplets, rel, x, V, R, chain=2, repeats=2
+    )
+
+    result = {
+        "metric": f"rspmm_fwd_bwd_edges_per_s_{impl}_{backend}",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_s / base_edges_per_s, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# impl={impl} backend={backend} E={E} F=4096 "
+        f"fwd+bwd={per_step*1e3:.2f}ms (xla baseline {base_step*1e3:.2f}ms); "
+        f"HBM gather-bound estimate {3*E*4096*4/819e9*1e3:.1f}ms",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,9 @@ class Graph:
     edge_weight: jnp.ndarray
     num_nodes: int = dataclasses.field(metadata=dict(static=True))
     num_relations: int = dataclasses.field(metadata=dict(static=True))
+    # optional precomputed CSR layouts for the Pallas rspmm kernels; a pure
+    # function of topology (ops/csr.py), so weight-only transforms keep it
+    layouts: object = None
 
     # ---- constructors -----------------------------------------------------
 
@@ -143,6 +146,21 @@ class Graph:
             num_nodes=self.num_nodes,
             num_relations=self.num_relations,
         )
+
+    def prepare_pallas(self, tile_rows: int = 256, tile_edges: int = 256) -> "Graph":
+        """Attach CSR layouts for the Pallas rspmm kernels (host-side; call
+        once per graph after all topology transforms)."""
+        from ..ops.csr import build_rspmm_layouts
+
+        layouts = build_rspmm_layouts(
+            np.asarray(self.edge_index),
+            np.asarray(self.edge_type),
+            self.num_nodes,
+            max(self.num_relations, 1),
+            tile_rows=tile_rows,
+            tile_edges=tile_edges,
+        )
+        return dataclasses.replace(self, layouts=layouts)
 
     def sorted_by_tail(self) -> "Graph":
         """Reorder edges so targets are ascending — the CSR layout the Pallas

@@ -174,6 +174,7 @@ def conv_apply(
             agg=agg,
             num_nodes=graph.num_nodes,
             impl=cfg.rspmm_impl,
+            layouts=graph.layouts,
             edge_grad=edge_grad,
         )
 

@@ -114,6 +114,7 @@ def ultra_train_scores(
     pos_r: jnp.ndarray,
     neg_index: jnp.ndarray,
     remove_easy: bool = True,
+    fact_graph_und: Graph = None,
 ) -> jnp.ndarray:
     """Scores for [positive | negatives]: [B, 1 + N].
 
@@ -143,7 +144,14 @@ def ultra_train_scores(
     graph = fact_graph
     if remove_easy:
         graph = _mask_easy_edges(cfg, graph, h_index, t_index, r_index)
-    graph_und = graph.undirected_with_inverse()
+    if fact_graph_und is None:
+        graph_und = graph.undirected_with_inverse()
+    else:
+        # precomputed undirected graph (edge order = [directed; inverse]):
+        # reuse its topology/layouts, substitute the per-batch masked weights
+        graph_und = fact_graph_und.with_edge_weight(
+            jnp.concatenate([graph.edge_weight, graph.edge_weight])
+        )
 
     h_index, t_index, r_index = _flip_heads_to_tails(
         h_index, t_index, r_index, fact_graph.num_relations
@@ -168,10 +176,15 @@ def ultra_eval_scores(
     pos_h: jnp.ndarray,
     pos_t: jnp.ndarray,
     pos_r: jnp.ndarray,
+    fact_graph_und: Graph = None,
 ):
     """All-entity score matrices for tail and head prediction:
     (t_scores [B, V], h_scores [B, V])."""
-    graph_und = fact_graph.undirected_with_inverse()
+    graph_und = (
+        fact_graph.undirected_with_inverse()
+        if fact_graph_und is None
+        else fact_graph_und
+    )
     rel_queries = rel_nbfnet_apply(
         params["relation"], cfg.relation, rel_graph, pos_r
     )

@@ -1,0 +1,159 @@
+"""Host-side CSR-style edge layouts for the Pallas rspmm kernels.
+
+The kernel consumes edges sorted by an output-row key (destination node for
+the forward pass, source node for d_input, relation id for d_relation),
+chunked into fixed-size groups that each touch exactly one output row tile.
+Chunk alignment inserts weight-0 padding edges, so the layout is a pure
+function of graph *topology* — per-batch edge weights (easy-edge masks) are
+re-gathered into the padded order at call time with a single cheap gather.
+
+Built once per graph on the host (numpy); shipped to the device as a pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CsrLayout:
+    """Edge layout for one reduction direction.
+
+    Arrays (all [C, TE] except noted):
+      gather1:   row index into the primary gathered operand (src for fwd)
+      gather2:   row index into the secondary gathered operand (only used by
+                 the d_relation kernel; zeros otherwise)
+      aux:       per-edge relation id (VMEM relation lookup; zeros for drel)
+      row_local: output row offset within the row tile
+      edge_id:   index into the ORIGINAL edge array (weight re-gather)
+      valid:     1.0 for real edges, 0.0 for alignment padding
+      cr_pairs:  [C, 2] (row_tile_of_chunk, row_tile_of_prev_chunk)
+    """
+
+    gather1: jnp.ndarray
+    gather2: jnp.ndarray
+    aux: jnp.ndarray
+    row_local: jnp.ndarray
+    edge_id: jnp.ndarray
+    valid: jnp.ndarray
+    cr_pairs: jnp.ndarray
+    tile_rows: int = dataclasses.field(metadata=dict(static=True))
+    tile_edges: int = dataclasses.field(metadata=dict(static=True))
+    num_row_tiles: int = dataclasses.field(metadata=dict(static=True))
+    num_chunks: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def padded_rows(self) -> int:
+        return self.num_row_tiles * self.tile_rows
+
+
+def build_layout(
+    row_ids: np.ndarray,
+    gather1_ids: np.ndarray,
+    aux_ids: np.ndarray,
+    num_rows: int,
+    gather2_ids: Optional[np.ndarray] = None,
+    tile_rows: int = 256,
+    tile_edges: int = 256,
+) -> CsrLayout:
+    """Sort edges by row_ids, align chunks to row tiles, pad chunk count to a
+    multiple of 8 (SMEM superchunk blocking)."""
+    E = len(row_ids)
+    order = np.argsort(row_ids, kind="stable")
+    rows = row_ids[order]
+    rt = rows // tile_rows
+    num_row_tiles = max(1, -(-num_rows // tile_rows))
+    counts = np.bincount(rt, minlength=num_row_tiles)
+    aligned = ((counts + tile_edges - 1) // tile_edges) * tile_edges
+    # guarantee at least one chunk overall
+    if aligned.sum() == 0:
+        aligned[0] = tile_edges
+    starts = np.concatenate([[0], np.cumsum(aligned)])[:-1]
+    orig_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    pos = starts[rt] + (np.arange(E) - orig_starts[rt])
+    E2 = int(aligned.sum())
+
+    def scatter(vals, fill=0, dtype=np.int32):
+        out = np.full(E2, fill, dtype)
+        out[pos] = vals
+        return out
+
+    g1 = scatter(gather1_ids[order])
+    g2 = scatter(gather2_ids[order] if gather2_ids is not None else
+                 np.zeros(E, np.int32))
+    aux = scatter(aux_ids[order])
+    row_local = scatter(rows - rt * tile_rows)
+    edge_id = scatter(order.astype(np.int32))
+    valid = scatter(np.ones(E, np.float32), 0.0, np.float32)
+
+    C = E2 // tile_edges
+    chunk_row = (
+        np.searchsorted(starts, np.arange(C) * tile_edges, side="right") - 1
+    ).astype(np.int32)
+    # pad chunk count to a multiple of 8 for (8, TE) SMEM blocks; padding
+    # chunks carry valid=0 and map to row tile of the last real chunk
+    Cp = ((C + 7) // 8) * 8
+
+    def to_chunks(a, fill=0):
+        out = np.full((Cp, tile_edges), fill, a.dtype)
+        out[:C] = a.reshape(C, tile_edges)
+        return out
+
+    cr = np.full(Cp, chunk_row[-1] if C else 0, np.int32)
+    cr[:C] = chunk_row
+    cr_pairs = np.stack([cr, np.concatenate([[-1], cr[:-1]])], 1).astype(np.int32)
+
+    return CsrLayout(
+        gather1=jnp.asarray(to_chunks(g1)),
+        gather2=jnp.asarray(to_chunks(g2)),
+        aux=jnp.asarray(to_chunks(aux)),
+        row_local=jnp.asarray(to_chunks(row_local)),
+        edge_id=jnp.asarray(to_chunks(edge_id)),
+        valid=jnp.asarray(to_chunks(valid, 0.0)),
+        cr_pairs=jnp.asarray(cr_pairs),
+        tile_rows=tile_rows,
+        tile_edges=tile_edges,
+        num_row_tiles=num_row_tiles,
+        num_chunks=Cp,
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RspmmLayouts:
+    """The three orderings one rspmm op needs (forward + both gradients)."""
+
+    fwd: CsrLayout  # rows = dst, gather1 = src
+    rev: CsrLayout  # rows = src, gather1 = dst (d_input)
+    rel: CsrLayout  # rows = etype, gather1 = src, gather2 = dst (d_relation)
+
+
+def build_rspmm_layouts(
+    edge_index: np.ndarray,
+    edge_type: np.ndarray,
+    num_nodes: int,
+    num_relations: int,
+    tile_rows: int = 256,
+    tile_edges: int = 256,
+) -> RspmmLayouts:
+    edge_index = np.asarray(edge_index)
+    edge_type = np.asarray(edge_type)
+    src, dst = edge_index[:, 0], edge_index[:, 1]
+    return RspmmLayouts(
+        fwd=build_layout(dst, src, edge_type, num_nodes,
+                         tile_rows=tile_rows, tile_edges=tile_edges),
+        rev=build_layout(src, dst, edge_type, num_nodes,
+                         tile_rows=tile_rows, tile_edges=tile_edges),
+        rel=build_layout(
+            edge_type, src, np.zeros_like(edge_type), num_relations,
+            gather2_ids=dst,
+            tile_rows=min(tile_rows, max(8, -(-num_relations // 8) * 8)),
+            tile_edges=tile_edges,
+        ),
+    )

@@ -12,12 +12,13 @@ advertised in the reference README as the O(V)-memory fast path). Here:
 
   * ``impl='xla'``   — segment-op formulation; correct everywhere (CPU/TPU),
     materializes [E, B, D] messages. The semantics oracle for tests.
-  * ``impl='pallas'`` — fused TPU kernel (ops/rspmm_pallas.py); O(V·D) memory,
-    messages are produced and consumed in VMEM.
+  * ``impl='pallas'`` — fused TPU kernels (ops/rspmm_pallas.py); O(V·D)
+    memory, per-edge HBM row DMAs with CSR layouts precomputed per graph
+    (ops/csr.py — pass via ``layouts``).
 
 For AGG='add' a custom VJP avoids saving messages: the backward is two more
 rspmm-shaped reductions (a transposed SpMM for d_input and an SDDMM-style
-segment-by-relation reduction for d_relation) — mirroring the structure of the
+segment-by-relation reduction for d_relation) — the same structure as the
 reference kernel's backward pass.
 
 Shapes:
@@ -29,7 +30,7 @@ Shapes:
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -41,11 +42,9 @@ _AGG_FUNCS = ("add", "max", "min")
 
 
 def _expand_rel(rel_e, x_e):
-    """Broadcast gathered relation rows against gathered node rows."""
     if rel_e.ndim == x_e.ndim:
         return rel_e
-    # rel [E, D] vs x [E, B, D]
-    return rel_e[:, None, :]
+    return rel_e[:, None, :]  # [E, D] vs [E, B, D]
 
 
 def _messages(edge_index, edge_type, edge_weight, relation, x, msg):
@@ -78,75 +77,78 @@ def _rspmm_xla(edge_index, edge_type, edge_weight, relation, x, *, msg, agg, num
     m = _messages(edge_index, edge_type, edge_weight, relation, x, msg)
     out = _segment(m, edge_index[:, 1], num_nodes, agg)
     if agg in ("max", "min"):
-        # empty segments come back as +/-inf from segment_max/min; the reference
-        # kernel yields the identity of the semiring with zero terms = 0
-        # contribution, then folds the boundary in. Use 0 for empty rows so
-        # downstream max(update, boundary) matches the dense fallback
-        # (layer.py:93 scatter_max with dim_size fills absent rows with 0).
+        # empty rows come back +/-inf; the dense fallback semantics fill 0
         out = jnp.where(jnp.isfinite(out), out, jnp.zeros_like(out))
     return out
 
 
-def _dispatch_fwd(edge_index, edge_type, edge_weight, relation, x, *, msg, agg, num_nodes, impl):
-    if impl == "pallas":
-        from . import rspmm_pallas
-
-        return rspmm_pallas.rspmm_fwd(
-            edge_index, edge_type, edge_weight, relation, x,
-            msg=msg, agg=agg, num_nodes=num_nodes,
-        )
-    return _rspmm_xla(
-        edge_index, edge_type, edge_weight, relation, x,
-        msg=msg, agg=agg, num_nodes=num_nodes,
+def _xla_bwd(edge_index, edge_type, edge_weight, relation, x, g, *, msg):
+    """(d_relation, d_input) via segment ops."""
+    rev = edge_index[:, ::-1]
+    dx = _rspmm_xla(
+        rev, edge_type, edge_weight, relation, g,
+        msg="mul" if msg == "mul" else "none", agg="add", num_nodes=x.shape[0],
     )
+    src, dst = edge_index[:, 0], edge_index[:, 1]
+    dr_e = x[src] * g[dst] if msg == "mul" else g[dst]
+    w = edge_weight.reshape((-1,) + (1,) * (dr_e.ndim - 1))
+    dr = jax.ops.segment_sum(dr_e * w, edge_type, num_segments=relation.shape[0])
+    if relation.ndim < dr.ndim:  # shared relation: sum over batch dim
+        dr = dr.sum(axis=tuple(range(1, dr.ndim - relation.ndim + 1)))
+    return dr, dx
+
+
+def _zeros_cotangent(tree):
+    def z(leaf):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return jnp.zeros_like(leaf)
+        return jnp.zeros(leaf.shape, dtype=jax.dtypes.float0)
+
+    return jax.tree_util.tree_map(z, tree)
 
 
 @lru_cache(maxsize=None)
 def _make_rspmm_add(msg: str, num_nodes: int, impl: str):
-    """Build (and cache, for stable jit identity) the custom-VJP rspmm for
-    AGG='add'. edge_weight is treated as a constant here (no edge gradients —
-    the path-visualization variant that differentiates through edge weights
-    uses the plain autodiff implementation instead)."""
+    """custom-VJP rspmm for AGG='add' (cached for stable jit identity).
+    edge_weight is constant here (edge gradients go through the plain autodiff
+    path used by path visualization)."""
 
-    def fwd_only(edge_index, edge_type, edge_weight, relation, x):
-        return _dispatch_fwd(
+    def fwd_impl(edge_index, edge_type, edge_weight, relation, x, layouts):
+        if impl == "pallas" and layouts is not None:
+            from .rspmm_pallas import rspmm_fwd_pallas
+
+            return rspmm_fwd_pallas(
+                layouts, edge_weight, relation, x, msg=msg, num_nodes=num_nodes
+            )
+        return _rspmm_xla(
             edge_index, edge_type, edge_weight, relation, x,
-            msg=msg, agg="add", num_nodes=num_nodes, impl=impl,
+            msg=msg, agg="add", num_nodes=num_nodes,
         )
 
     @jax.custom_vjp
-    def rspmm(edge_index, edge_type, edge_weight, relation, x):
-        return fwd_only(edge_index, edge_type, edge_weight, relation, x)
+    def rspmm(edge_index, edge_type, edge_weight, relation, x, layouts):
+        return fwd_impl(edge_index, edge_type, edge_weight, relation, x, layouts)
 
-    def rspmm_fwd(edge_index, edge_type, edge_weight, relation, x):
-        out = fwd_only(edge_index, edge_type, edge_weight, relation, x)
-        return out, (edge_index, edge_type, edge_weight, relation, x)
+    def rspmm_fwd(edge_index, edge_type, edge_weight, relation, x, layouts):
+        out = fwd_impl(edge_index, edge_type, edge_weight, relation, x, layouts)
+        return out, (edge_index, edge_type, edge_weight, relation, x, layouts)
 
     def rspmm_bwd(res, g):
-        edge_index, edge_type, edge_weight, relation, x = res
-        rev_index = edge_index[:, ::-1]
-        # d_input[h] = sum_e w_e * (rel_e * g[t_e])   (mul)
-        #            = sum_e w_e * g[t_e]             (add)
-        dx = _dispatch_fwd(
-            rev_index, edge_type, edge_weight, relation, g,
-            msg="mul" if msg == "mul" else "none",
-            agg="add", num_nodes=x.shape[0], impl=impl,
-        )
-        # d_relation[r] = sum_{e: type r} w_e * (x[h_e] * g[t_e])  (mul)
-        #              = sum_{e: type r} w_e * g[t_e]              (add)
-        src, dst = edge_index[:, 0], edge_index[:, 1]
-        if msg == "mul":
-            dr_e = x[src] * g[dst]
+        edge_index, edge_type, edge_weight, relation, x, layouts = res
+        if impl == "pallas" and layouts is not None:
+            from .rspmm_pallas import rspmm_bwd_pallas
+
+            dr, dx = rspmm_bwd_pallas(
+                layouts, edge_weight, relation, x, g, msg=msg
+            )
         else:
-            dr_e = g[dst]
-        w = edge_weight.reshape((-1,) + (1,) * (dr_e.ndim - 1))
-        dr = jax.ops.segment_sum(dr_e * w, edge_type, num_segments=relation.shape[0])
-        if relation.ndim < dr.ndim:  # shared relation: sum over batch dim
-            dr = dr.sum(axis=tuple(range(1, dr.ndim - relation.ndim + 1)))
+            dr, dx = _xla_bwd(
+                edge_index, edge_type, edge_weight, relation, x, g, msg=msg
+            )
         zero_i = jnp.zeros(edge_index.shape, dtype=jax.dtypes.float0)
         zero_t = jnp.zeros(edge_type.shape, dtype=jax.dtypes.float0)
-        dw = jnp.zeros_like(edge_weight)
-        return zero_i, zero_t, dw, dr, dx
+        dlay = None if layouts is None else _zeros_cotangent(layouts)
+        return zero_i, zero_t, jnp.zeros_like(edge_weight), dr, dx, dlay
 
     rspmm.defvjp(rspmm_fwd, rspmm_bwd)
     return rspmm
@@ -163,6 +165,7 @@ def generalized_rspmm(
     agg: str = "add",
     num_nodes: int,
     impl: str = "xla",
+    layouts=None,
     edge_grad: bool = False,
 ):
     """Relational SpMM. See module docstring for semantics and shapes.
@@ -170,10 +173,12 @@ def generalized_rspmm(
     Args:
       msg: "mul" (distmult) or "add" (transe).
       agg: "add", "max" or "min".
-      impl: "xla" (segment ops) or "pallas" (fused TPU kernel, AGG='add' only).
-      edge_grad: if True, use the plain autodiff path so gradients flow to
-        ``edge_weight`` (needed by path interpretability; costs message
-        materialization like the reference's O(E) fallback at layer.py:112).
+      impl: "xla" (segment ops) or "pallas" (fused TPU kernels; AGG='add'
+        only — other aggregations fall back to XLA).
+      layouts: ops.csr.RspmmLayouts for this edge set (required for pallas).
+      edge_grad: use the plain autodiff path so gradients flow to
+        ``edge_weight`` (path interpretability; O(E) message materialization
+        like the reference fallback at layer.py:112).
     """
     if msg not in _MSG_FUNCS:
         raise ValueError(f"msg must be one of {_MSG_FUNCS}, got {msg!r}")
@@ -181,8 +186,7 @@ def generalized_rspmm(
         raise ValueError(f"agg must be one of {_AGG_FUNCS}, got {agg!r}")
     if agg == "add" and not edge_grad:
         fn = _make_rspmm_add(msg, int(num_nodes), impl)
-        return fn(edge_index, edge_type, edge_weight, relation, x)
-    # max/min (and the edge-grad variant): plain autodiff through segment ops.
+        return fn(edge_index, edge_type, edge_weight, relation, x, layouts)
     return _rspmm_xla(
         edge_index, edge_type, edge_weight, relation, x,
         msg=msg, agg=agg, num_nodes=int(num_nodes),

@@ -1,0 +1,374 @@
+"""Pallas TPU kernels for the generalized relational SpMM (sum aggregation).
+
+TPU-native replacement for the reference's CUDA rspmm kernel
+(/root/reference README "compiled kernels", called at ultra/layer.py:134-178):
+rather than relying on hardware caches for random row access (the GPU
+strategy), the kernel streams CSR-ordered edge chunks whose metadata lives in
+SMEM, issues per-edge row DMAs from HBM with a lookahead pipeline, multiplies
+by relation rows held in VMEM, and accumulates into a VMEM-resident output row
+tile that is flushed when the (monotonic) row tile advances. O(V·D) memory:
+messages never exist in HBM.
+
+Three reductions share the same template (see ops/csr.py for layouts):
+  forward   out[dst]  += w * (rel[r] . x[src])
+  d_input   dx[src]   += w * (rel[r] . g[dst])     (transposed layout)
+  d_rel     dr[r]     += w * (x[src] . g[dst])     (relation-sorted layout)
+
+Falls back to interpret mode off-TPU so unit tests validate the exact kernel
+logic on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .csr import CsrLayout
+
+NBUF = 16  # per-edge DMA lookahead depth
+_LANE = 128
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pad_lane(F: int) -> int:
+    return -(-F // _LANE) * _LANE
+
+
+# ---------------------------------------------------------------------------
+# kernel template A: one gathered operand (+ optional VMEM relation lookup)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_one_gather(
+    cr_ref, idx_ref, aux_ref, rowl_ref, w_ref, data_hbm, *rest, mode: str
+):
+    if mode == "none":
+        out_ref, xbuf, sems = rest
+        rel_ref = None
+    else:
+        rel_ref, out_ref, xbuf, sems = rest
+    c = pl.program_id(0)
+    srow = jax.lax.rem(c, 8)
+
+    @pl.when(cr_ref[c, 0] != cr_ref[c, 1])
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    def get_dma(i):
+        slot = jax.lax.rem(i, NBUF)
+        return pltpu.make_async_copy(
+            data_hbm.at[idx_ref[srow, i]], xbuf.at[slot], sems.at[slot]
+        )
+
+    for i in range(NBUF):
+        get_dma(i).start()
+
+    te = idx_ref.shape[1]
+
+    def body(i, _):
+        get_dma(i).wait()
+        xrow = xbuf[jax.lax.rem(i, NBUF), 0]
+
+        @pl.when(i + NBUF < te)
+        def _():
+            get_dma(i + NBUF).start()
+
+        w = w_ref[srow, i]
+        if mode == "mul_rel":
+            msg = rel_ref[aux_ref[srow, i]] * xrow * w
+        elif mode == "add_rel":
+            msg = (rel_ref[aux_ref[srow, i]] + xrow) * w
+        else:  # none
+            msg = xrow * w
+        d = rowl_ref[srow, i]
+        out_ref[pl.ds(d, 1), :] = out_ref[pl.ds(d, 1), :] + msg[None, :]
+        return 0
+
+    jax.lax.fori_loop(0, te, body, 0, unroll=True)
+
+
+# ---------------------------------------------------------------------------
+# kernel template B: two gathered operands (d_relation, distmult)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_two_gather(
+    cr_ref, idx1_ref, idx2_ref, rowl_ref, w_ref, x_hbm, g_hbm, out_ref,
+    xbuf, gbuf, xsems, gsems,
+):
+    c = pl.program_id(0)
+    srow = jax.lax.rem(c, 8)
+
+    @pl.when(cr_ref[c, 0] != cr_ref[c, 1])
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    def x_dma(i):
+        slot = jax.lax.rem(i, NBUF)
+        return pltpu.make_async_copy(
+            x_hbm.at[idx1_ref[srow, i]], xbuf.at[slot], xsems.at[slot]
+        )
+
+    def g_dma(i):
+        slot = jax.lax.rem(i, NBUF)
+        return pltpu.make_async_copy(
+            g_hbm.at[idx2_ref[srow, i]], gbuf.at[slot], gsems.at[slot]
+        )
+
+    for i in range(NBUF):
+        x_dma(i).start()
+        g_dma(i).start()
+
+    te = idx1_ref.shape[1]
+
+    def body(i, _):
+        x_dma(i).wait()
+        g_dma(i).wait()
+        slot = jax.lax.rem(i, NBUF)
+        xrow = xbuf[slot, 0]
+        grow = gbuf[slot, 0]
+
+        @pl.when(i + NBUF < te)
+        def _():
+            x_dma(i + NBUF).start()
+            g_dma(i + NBUF).start()
+
+        msg = xrow * grow * w_ref[srow, i]
+        d = rowl_ref[srow, i]
+        out_ref[pl.ds(d, 1), :] = out_ref[pl.ds(d, 1), :] + msg[None, :]
+        return 0
+
+    jax.lax.fori_loop(0, te, body, 0, unroll=True)
+
+
+# ---------------------------------------------------------------------------
+# callers
+# ---------------------------------------------------------------------------
+
+
+def _feature_tiles(F_pad: int, rel_rows: int, layout: CsrLayout) -> int:
+    """Pick a feature tile width keeping VMEM under ~10 MB."""
+    budget = 10 * 1024 * 1024 // 4  # f32 words
+    per_f = rel_rows + 2 * layout.tile_rows + 2 * NBUF + 8
+    tf = max(_LANE, (budget // per_f) // _LANE * _LANE)
+    return min(F_pad, tf)
+
+
+def _smem_spec(te):
+    # index_map receives (grid_idx, *scalar_prefetch_refs)
+    return pl.BlockSpec((8, te), lambda c, cr: (c // 8, 0), memory_space=pltpu.SMEM)
+
+
+def rspmm_gather1(
+    data: jnp.ndarray,
+    relation: Optional[jnp.ndarray],
+    w_chunks: jnp.ndarray,
+    layout: CsrLayout,
+    index_chunks: jnp.ndarray,
+    mode: str,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Template-A reduction. data: [Vin, F]; relation: [R, F] or None.
+    Returns [padded_rows, F]."""
+    interpret = _interpret_default() if interpret is None else interpret
+    V, F = data.shape
+    F_pad = _pad_lane(F)
+    te = layout.tile_edges
+    tv = layout.tile_rows
+    if F_pad != F:
+        data = jnp.pad(data, ((0, 0), (0, F_pad - F)))
+        if relation is not None:
+            relation = jnp.pad(relation, ((0, 0), (0, F_pad - F)))
+    if relation is not None:
+        r_pad = -(-relation.shape[0] // 8) * 8
+        if r_pad != relation.shape[0]:
+            relation = jnp.pad(relation, ((0, r_pad - relation.shape[0]), (0, 0)))
+    rel_rows = 0 if relation is None else relation.shape[0]
+    tf = _feature_tiles(F_pad, rel_rows, layout)
+
+    kernel = functools.partial(_kernel_one_gather, mode=mode)
+    pieces = []
+    for f0 in range(0, F_pad, tf):
+        fw = min(tf, F_pad - f0)
+        data_f = data[:, f0 : f0 + fw].reshape(V, 1, fw)
+        in_specs = [
+            _smem_spec(te),  # index
+            _smem_spec(te),  # aux
+            _smem_spec(te),  # row_local
+            _smem_spec(te),  # weights (f32 in SMEM)
+            pl.BlockSpec(memory_space=pl.ANY),  # data in HBM
+        ]
+        args = [index_chunks, layout.aux, layout.row_local, w_chunks, data_f]
+        scratch = [
+            pltpu.VMEM((NBUF, 1, fw), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ]
+        if relation is not None:
+            in_specs.append(
+                pl.BlockSpec((rel_rows, fw), lambda c, cr: (0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            args.append(relation[:, f0 : f0 + fw])
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(layout.num_chunks,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (tv, fw), lambda c, cr: (cr[c, 0], 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=scratch,
+        )
+        piece = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (layout.padded_rows, fw), jnp.float32
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(layout.cr_pairs, *args)
+        pieces.append(piece)
+    out = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
+    return out[:, :F]
+
+
+def rspmm_gather2(
+    x: jnp.ndarray,
+    g: jnp.ndarray,
+    w_chunks: jnp.ndarray,
+    layout: CsrLayout,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Template-B reduction (d_relation distmult): [padded_rows, F]."""
+    interpret = _interpret_default() if interpret is None else interpret
+    Vx, F = x.shape
+    Vg = g.shape[0]
+    F_pad = _pad_lane(F)
+    te, tv = layout.tile_edges, layout.tile_rows
+    if F_pad != F:
+        x = jnp.pad(x, ((0, 0), (0, F_pad - F)))
+        g = jnp.pad(g, ((0, 0), (0, F_pad - F)))
+    tf = _feature_tiles(F_pad, 0, layout)
+    pieces = []
+    for f0 in range(0, F_pad, tf):
+        fw = min(tf, F_pad - f0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(layout.num_chunks,),
+            in_specs=[
+                _smem_spec(te),
+                _smem_spec(te),
+                _smem_spec(te),
+                _smem_spec(te),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (tv, fw), lambda c, cr: (cr[c, 0], 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((NBUF, 1, fw), jnp.float32),
+                pltpu.VMEM((NBUF, 1, fw), jnp.float32),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+            ],
+        )
+        piece = pl.pallas_call(
+            _kernel_two_gather,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (layout.padded_rows, fw), jnp.float32
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            layout.cr_pairs,
+            layout.gather1,
+            layout.gather2,
+            layout.row_local,
+            w_chunks,
+            x[:, f0 : f0 + fw].reshape(Vx, 1, fw),
+            g[:, f0 : f0 + fw].reshape(Vg, 1, fw),
+        )
+        pieces.append(piece)
+    out = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
+    return out[:, :F]
+
+
+# ---------------------------------------------------------------------------
+# high-level entry points (flattened [*, F] views of [V, B, D] operands)
+# ---------------------------------------------------------------------------
+
+
+def _flat(x):
+    return x.reshape(x.shape[0], -1)
+
+
+def _rel_flat(relation, B):
+    if relation.ndim == 2:  # [R, D] shared across batch
+        R, D = relation.shape
+        return jnp.broadcast_to(relation[:, None, :], (R, B, D)).reshape(R, B * D)
+    return relation.reshape(relation.shape[0], -1)  # [R, B, D]
+
+
+def _weight_chunks(edge_weight, layout: CsrLayout):
+    return edge_weight[layout.edge_id] * layout.valid
+
+
+def rspmm_fwd_pallas(layouts, edge_weight, relation, x, *, msg, num_nodes):
+    B = x.shape[1]
+    out = rspmm_gather1(
+        _flat(x),
+        _rel_flat(relation, B),
+        _weight_chunks(edge_weight, layouts.fwd),
+        layouts.fwd,
+        layouts.fwd.gather1,
+        mode="mul_rel" if msg == "mul" else "add_rel",
+    )
+    return out[:num_nodes].reshape(num_nodes, *x.shape[1:])
+
+
+def rspmm_bwd_pallas(layouts, edge_weight, relation, x, g, *, msg):
+    """Returns (d_relation, d_input)."""
+    B = x.shape[1]
+    g_flat = _flat(g)
+    if msg == "mul":
+        dx = rspmm_gather1(
+            g_flat, _rel_flat(relation, B),
+            _weight_chunks(edge_weight, layouts.rev),
+            layouts.rev, layouts.rev.gather1, mode="mul_rel",
+        )[: x.shape[0]].reshape(x.shape)
+        dr_flat = rspmm_gather2(
+            _flat(x), g_flat,
+            _weight_chunks(edge_weight, layouts.rel),
+            layouts.rel,
+        )
+    else:  # transe
+        dx = rspmm_gather1(
+            g_flat, None,
+            _weight_chunks(edge_weight, layouts.rev),
+            layouts.rev, layouts.rev.gather1, mode="none",
+        )[: x.shape[0]].reshape(x.shape)
+        dr_flat = rspmm_gather1(
+            g_flat, None,
+            _weight_chunks(edge_weight, layouts.rel),
+            layouts.rel, layouts.rel.gather2, mode="none",
+        )
+    R = relation.shape[0]
+    dr = dr_flat[:R].reshape(R, *x.shape[1:])
+    if relation.ndim == 2:  # shared relation: sum over batch
+        dr = dr.sum(axis=1)
+    return dr, dx

@@ -95,10 +95,23 @@ class _TaskBase:
     def init_params(self, key):
         return ultra_init(key, self.model_cfg)
 
+    def _uses_pallas(self) -> bool:
+        return self.model_cfg.entity.rspmm_impl == "pallas"
+
+    def _prepare_graphs(self, fact_graph: Graph, rel_graph: Graph):
+        """Precompute the undirected propagation graph (and, on TPU, the CSR
+        layouts the Pallas kernels consume) once per fact graph."""
+        und = fact_graph.undirected_with_inverse()
+        if self._uses_pallas():
+            und = und.prepare_pallas()
+            rel_graph = rel_graph.prepare_pallas()
+        return und, rel_graph
+
     # -- builders ----------------------------------------------------------
 
     def _build_loss_fn(self, fact_graph: Graph, rel_graph: Graph, num_nodes: int):
         cfg = self.cfg
+        fact_und, rel_graph = self._prepare_graphs(fact_graph, rel_graph)
 
         def loss_fn(params, key, batch, sample_weight=None):
             h, t, r = batch[:, 0], batch[:, 1], batch[:, 2]
@@ -111,7 +124,8 @@ class _TaskBase:
                     key, (batch.shape[0], cfg.num_negative), 0, num_nodes
                 )
             scores = ultra_train_scores(
-                params, self.model_cfg, fact_graph, rel_graph, h, t, r, neg
+                params, self.model_cfg, fact_graph, rel_graph, h, t, r, neg,
+                fact_graph_und=fact_und,
             )
             loss = _criterion_loss(cfg, scores, sample_weight)
             metrics = {
@@ -128,11 +142,13 @@ class _TaskBase:
         (ranking [B,2] int32, num_candidates [B,2] float32)."""
         cfg = self.cfg
         V = fact_graph.num_nodes
+        fact_und, rel_graph = self._prepare_graphs(fact_graph, rel_graph)
 
         def eval_fn(params, batch):
             h, t, r = batch[:, 0], batch[:, 1], batch[:, 2]
             t_scores, h_scores = ultra_eval_scores(
-                params, self.model_cfg, fact_graph, rel_graph, h, t, r
+                params, self.model_cfg, fact_graph, rel_graph, h, t, r,
+                fact_graph_und=fact_und,
             )
             t_truth = tail_truth_mask(filter_graph.edge_list, h, r, V)
             h_truth = head_truth_mask(filter_graph.edge_list, t, r, V)
