@@ -34,6 +34,12 @@ def build_relation_graph(graph: Graph) -> Graph:
     rels = np.asarray(g.edge_type)
     V, R2 = g.num_nodes, g.num_relations
 
+    from ..native import relation_graph_patterns_native
+
+    native = relation_graph_patterns_native(heads, tails, rels, V, R2)
+    if native is not None:
+        return Graph.from_triplets(native, num_nodes=R2, num_relations=4)
+
     def incidence(nodes, relations):
         pairs = np.unique(np.stack([nodes, relations], axis=1), axis=0)
         data = np.ones(len(pairs), dtype=bool)

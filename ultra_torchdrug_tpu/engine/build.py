@@ -91,6 +91,7 @@ def build_task_config(cfg_task: dict, default_metrics) -> TaskConfig:
         fact_ratio=cfg_task.get("fact_ratio"),
         full_batch_eval=bool(cfg_task.get("full_batch_eval", True)),
         metric_per_rel=bool(cfg_task.get("metric_per_rel", False)),
+        toy_eval=bool(cfg_task.get("toy_eval", False)),
     )
 
 

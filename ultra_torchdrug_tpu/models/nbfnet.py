@@ -52,6 +52,7 @@ class NBFNetConfig:
     project: bool = True
     rspmm_impl: str = "xla"
     edge_axis: str = ""
+    learn_query: bool = False  # rel tower: learned query vector vs all-ones
 
     def layer_configs(self):
         dims = [self.input_dim] + list(self.hidden_dims)
@@ -109,7 +110,7 @@ def _propagate(
 
 def rel_nbfnet_config(
     input_dim: int = 64, hidden: int = 64, num_layers: int = 6,
-    rspmm_impl: str = "xla", edge_axis: str = "",
+    rspmm_impl: str = "xla", edge_axis: str = "", learn_query: bool = False,
 ) -> NBFNetConfig:
     """The fixed architecture RelNBFNet instantiates (rel_model.py:392-400):
     sum aggregation, layer_norm, short_cut, 4 relation types, distmult."""
@@ -125,13 +126,21 @@ def rel_nbfnet_config(
         project=False,
         rspmm_impl=rspmm_impl,
         edge_axis=edge_axis,
+        learn_query=learn_query,
     )
 
 
 def rel_nbfnet_init(key, cfg: NBFNetConfig) -> dict:
     lcfgs = cfg.layer_configs()
-    keys = jax.random.split(key, len(lcfgs))
-    return {"layers": [conv_init(k, c) for k, c in zip(keys, lcfgs)]}
+    keys = jax.random.split(key, len(lcfgs) + 1)
+    params = {"layers": [conv_init(k, c) for k, c in zip(keys[:-1], lcfgs)]}
+    if cfg.learn_query:
+        # CustomNBFNetFull(learn_query=True): Embedding(1, D) broadcast as the
+        # query vector (rel_model.py:345-355)
+        params["learnable_q"] = {
+            "weight": jax.random.normal(keys[-1], (1, cfg.input_dim), jnp.float32)
+        }
+    return params
 
 
 def rel_nbfnet_apply(params, cfg: NBFNetConfig, rel_graph, query_rels) -> jnp.ndarray:
@@ -141,9 +150,14 @@ def rel_nbfnet_apply(params, cfg: NBFNetConfig, rel_graph, query_rels) -> jnp.nd
     B = query_rels.shape[0]
     D = cfg.input_dim
     V = rel_graph.num_nodes
-    # all-ones query scattered at the query relation node (input_type="ones")
+    # query = all-ones (input_type="ones") or a learned vector, scattered at
+    # the query relation node
+    if cfg.learn_query:
+        query = jnp.broadcast_to(params["learnable_q"]["weight"], (B, D))
+    else:
+        query = jnp.ones((B, D), jnp.float32)
     boundary = jnp.zeros((V, B, D), jnp.float32)
-    boundary = boundary.at[query_rels, jnp.arange(B)].add(jnp.ones((B, D)))
+    boundary = boundary.at[query_rels, jnp.arange(B)].add(query)
     out = _propagate(params["layers"], cfg.layer_configs(), rel_graph, boundary, cfg)
     return out.transpose(1, 0, 2)  # [B, V(=2R), D]
 

@@ -63,7 +63,21 @@ def build_layout(
     tile_edges: int = 256,
 ) -> CsrLayout:
     """Sort edges by row_ids, align chunks to row tiles, pad chunk count to a
-    multiple of 8 (SMEM superchunk blocking)."""
+    multiple of 8. Uses the native C++ builder (native/graphlib.cpp) when
+    available; numpy otherwise."""
+    from ..native import csr_layout_build_native
+
+    native = csr_layout_build_native(
+        np.asarray(row_ids, np.int32), np.asarray(gather1_ids, np.int32),
+        None if gather2_ids is None else np.asarray(gather2_ids, np.int32),
+        np.asarray(aux_ids, np.int32), num_rows, tile_rows, tile_edges,
+    )
+    if native is not None:
+        E2, g1, g2, aux, row_local, edge_id, valid, chunk_row = native
+        return _finalize_layout(
+            g1, g2, aux, row_local, edge_id, valid, chunk_row,
+            num_rows, tile_rows, tile_edges,
+        )
     E = len(row_ids)
     order = np.argsort(row_ids, kind="stable")
     rows = row_ids[order]
@@ -96,8 +110,20 @@ def build_layout(
     chunk_row = (
         np.searchsorted(starts, np.arange(C) * tile_edges, side="right") - 1
     ).astype(np.int32)
-    # pad chunk count to a multiple of 8 for (8, TE) SMEM blocks; padding
-    # chunks carry valid=0 and map to row tile of the last real chunk
+    return _finalize_layout(
+        g1, g2, aux, row_local, edge_id, valid, chunk_row,
+        num_rows, tile_rows, tile_edges,
+    )
+
+
+def _finalize_layout(
+    g1, g2, aux, row_local, edge_id, valid, chunk_row,
+    num_rows, tile_rows, tile_edges,
+) -> CsrLayout:
+    """Chunk the flat padded arrays and pad the chunk count to a multiple of
+    8; padding chunks carry valid=0 and map to the last real chunk's tile."""
+    num_row_tiles = max(1, -(-num_rows // tile_rows))
+    C = len(chunk_row)
     Cp = ((C + 7) // 8) * 8
 
     def to_chunks(a, fill=0):

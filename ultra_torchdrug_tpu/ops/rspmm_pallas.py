@@ -3,11 +3,16 @@
 TPU-native replacement for the reference's CUDA rspmm kernel
 (/root/reference README "compiled kernels", called at ultra/layer.py:134-178):
 rather than relying on hardware caches for random row access (the GPU
-strategy), the kernel streams CSR-ordered edge chunks whose metadata lives in
-SMEM, issues per-edge row DMAs from HBM with a lookahead pipeline, multiplies
-by relation rows held in VMEM, and accumulates into a VMEM-resident output row
-tile that is flushed when the (monotonic) row tile advances. O(V·D) memory:
-messages never exist in HBM.
+strategy), the kernel streams CSR-ordered edge chunks, issues per-edge row
+DMAs from HBM with a lookahead pipeline, multiplies by relation rows held in
+VMEM, and accumulates into a VMEM-resident output row tile that is flushed
+when the (monotonic) row tile advances. O(V·D) memory: messages never exist
+in HBM.
+
+Edge metadata ([C, 3, TE] int32 of gather-index/relation/row-offset plus
+[C, 1, TE] f32 weights) stays in HBM and is DMA'd per chunk into SMEM scratch
+with one-chunk lookahead — SMEM is ~1 MB on TPU, far too small to hold the
+metadata of a million-edge graph outright.
 
 Three reductions share the same template (see ops/csr.py for layouts):
   forward   out[dst]  += w * (rel[r] . x[src])
@@ -43,36 +48,62 @@ def _pad_lane(F: int) -> int:
     return -(-F // _LANE) * _LANE
 
 
+def _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c, slot):
+    return (
+        pltpu.make_async_copy(meta_hbm.at[c], mbuf.at[slot], msems.at[slot]),
+        pltpu.make_async_copy(w_hbm.at[c], wbuf.at[slot], wsems.at[slot]),
+    )
+
+
 # ---------------------------------------------------------------------------
 # kernel template A: one gathered operand (+ optional VMEM relation lookup)
 # ---------------------------------------------------------------------------
 
 
 def _kernel_one_gather(
-    cr_ref, idx_ref, aux_ref, rowl_ref, w_ref, data_hbm, *rest, mode: str
+    cr_ref, meta_hbm, w_hbm, data_hbm, *rest, mode: str, num_chunks: int
 ):
     if mode == "none":
-        out_ref, xbuf, sems = rest
+        out_ref, mbuf, wbuf, msems, wsems, xbuf, sems = rest
         rel_ref = None
     else:
-        rel_ref, out_ref, xbuf, sems = rest
+        rel_ref, out_ref, mbuf, wbuf, msems, wsems, xbuf, sems = rest
     c = pl.program_id(0)
-    srow = jax.lax.rem(c, 8)
+    slot = jax.lax.rem(c, 2)
+    nxt = jax.lax.rem(c + 1, 2)
 
     @pl.when(cr_ref[c, 0] != cr_ref[c, 1])
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
+    # chunk 0: blocking fetch of its own metadata
+    @pl.when(c == 0)
+    def _():
+        md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, 0, 0)
+        md.start()
+        wd.start()
+
+    md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c, slot)
+    md.wait()
+    wd.wait()
+
+    # prefetch next chunk's metadata while we process this one
+    @pl.when(c + 1 < num_chunks)
+    def _():
+        md2, wd2 = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c + 1, nxt)
+        md2.start()
+        wd2.start()
+
     def get_dma(i):
-        slot = jax.lax.rem(i, NBUF)
+        dslot = jax.lax.rem(i, NBUF)
         return pltpu.make_async_copy(
-            data_hbm.at[idx_ref[srow, i]], xbuf.at[slot], sems.at[slot]
+            data_hbm.at[mbuf[slot, 0, i]], xbuf.at[dslot], sems.at[dslot]
         )
 
     for i in range(NBUF):
         get_dma(i).start()
 
-    te = idx_ref.shape[1]
+    te = mbuf.shape[-1]
 
     def body(i, _):
         get_dma(i).wait()
@@ -82,18 +113,18 @@ def _kernel_one_gather(
         def _():
             get_dma(i + NBUF).start()
 
-        w = w_ref[srow, i]
+        w = wbuf[slot, 0, i]
         if mode == "mul_rel":
-            msg = rel_ref[aux_ref[srow, i]] * xrow * w
+            msg = rel_ref[mbuf[slot, 1, i]] * xrow * w
         elif mode == "add_rel":
-            msg = (rel_ref[aux_ref[srow, i]] + xrow) * w
+            msg = (rel_ref[mbuf[slot, 1, i]] + xrow) * w
         else:  # none
             msg = xrow * w
-        d = rowl_ref[srow, i]
+        d = mbuf[slot, 2, i]
         out_ref[pl.ds(d, 1), :] = out_ref[pl.ds(d, 1), :] + msg[None, :]
         return 0
 
-    jax.lax.fori_loop(0, te, body, 0, unroll=True)
+    jax.lax.fori_loop(0, te, body, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -102,52 +133,69 @@ def _kernel_one_gather(
 
 
 def _kernel_two_gather(
-    cr_ref, idx1_ref, idx2_ref, rowl_ref, w_ref, x_hbm, g_hbm, out_ref,
-    xbuf, gbuf, xsems, gsems,
+    cr_ref, meta_hbm, w_hbm, x_hbm, g_hbm, out_ref,
+    mbuf, wbuf, msems, wsems, xbuf, gbuf, xsems, gsems, *, num_chunks: int
 ):
     c = pl.program_id(0)
-    srow = jax.lax.rem(c, 8)
+    slot = jax.lax.rem(c, 2)
+    nxt = jax.lax.rem(c + 1, 2)
 
     @pl.when(cr_ref[c, 0] != cr_ref[c, 1])
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
+    @pl.when(c == 0)
+    def _():
+        md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, 0, 0)
+        md.start()
+        wd.start()
+
+    md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c, slot)
+    md.wait()
+    wd.wait()
+
+    @pl.when(c + 1 < num_chunks)
+    def _():
+        md2, wd2 = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c + 1, nxt)
+        md2.start()
+        wd2.start()
+
     def x_dma(i):
-        slot = jax.lax.rem(i, NBUF)
+        dslot = jax.lax.rem(i, NBUF)
         return pltpu.make_async_copy(
-            x_hbm.at[idx1_ref[srow, i]], xbuf.at[slot], xsems.at[slot]
+            x_hbm.at[mbuf[slot, 0, i]], xbuf.at[dslot], xsems.at[dslot]
         )
 
     def g_dma(i):
-        slot = jax.lax.rem(i, NBUF)
+        dslot = jax.lax.rem(i, NBUF)
         return pltpu.make_async_copy(
-            g_hbm.at[idx2_ref[srow, i]], gbuf.at[slot], gsems.at[slot]
+            g_hbm.at[mbuf[slot, 1, i]], gbuf.at[dslot], gsems.at[dslot]
         )
 
     for i in range(NBUF):
         x_dma(i).start()
         g_dma(i).start()
 
-    te = idx1_ref.shape[1]
+    te = mbuf.shape[-1]
 
     def body(i, _):
         x_dma(i).wait()
         g_dma(i).wait()
-        slot = jax.lax.rem(i, NBUF)
-        xrow = xbuf[slot, 0]
-        grow = gbuf[slot, 0]
+        dslot = jax.lax.rem(i, NBUF)
+        xrow = xbuf[dslot, 0]
+        grow = gbuf[dslot, 0]
 
         @pl.when(i + NBUF < te)
         def _():
             x_dma(i + NBUF).start()
             g_dma(i + NBUF).start()
 
-        msg = xrow * grow * w_ref[srow, i]
-        d = rowl_ref[srow, i]
+        msg = xrow * grow * wbuf[slot, 0, i]
+        d = mbuf[slot, 2, i]
         out_ref[pl.ds(d, 1), :] = out_ref[pl.ds(d, 1), :] + msg[None, :]
         return 0
 
-    jax.lax.fori_loop(0, te, body, 0, unroll=True)
+    jax.lax.fori_loop(0, te, body, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -163,9 +211,12 @@ def _feature_tiles(F_pad: int, rel_rows: int, layout: CsrLayout) -> int:
     return min(F_pad, tf)
 
 
-def _smem_spec(te):
-    # index_map receives (grid_idx, *scalar_prefetch_refs)
-    return pl.BlockSpec((8, te), lambda c, cr: (c // 8, 0), memory_space=pltpu.SMEM)
+def _pack_meta(layout: CsrLayout, index_chunks, second):
+    """[C, 4, TE] int32: (gather index, aux/second index, row offset, pad) —
+    4 rows because i32 HBM slices must align to the sublane tiling."""
+    return jnp.stack(
+        [index_chunks, second, layout.row_local, layout.row_local], axis=1
+    )
 
 
 def rspmm_gather1(
@@ -195,20 +246,26 @@ def rspmm_gather1(
     rel_rows = 0 if relation is None else relation.shape[0]
     tf = _feature_tiles(F_pad, rel_rows, layout)
 
-    kernel = functools.partial(_kernel_one_gather, mode=mode)
+    meta = _pack_meta(layout, index_chunks, layout.aux)
+    w3 = w_chunks[:, None, :]  # [C, 1, TE]
+    kernel = functools.partial(
+        _kernel_one_gather, mode=mode, num_chunks=layout.num_chunks
+    )
     pieces = []
     for f0 in range(0, F_pad, tf):
         fw = min(tf, F_pad - f0)
         data_f = data[:, f0 : f0 + fw].reshape(V, 1, fw)
         in_specs = [
-            _smem_spec(te),  # index
-            _smem_spec(te),  # aux
-            _smem_spec(te),  # row_local
-            _smem_spec(te),  # weights (f32 in SMEM)
+            pl.BlockSpec(memory_space=pl.ANY),  # meta in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # weights in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # data in HBM
         ]
-        args = [index_chunks, layout.aux, layout.row_local, w_chunks, data_f]
+        args = [meta, w3, data_f]
         scratch = [
+            pltpu.SMEM((2, 4, te), jnp.int32),
+            pltpu.SMEM((2, 1, te), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((NBUF, 1, fw), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ]
@@ -260,6 +317,9 @@ def rspmm_gather2(
         x = jnp.pad(x, ((0, 0), (0, F_pad - F)))
         g = jnp.pad(g, ((0, 0), (0, F_pad - F)))
     tf = _feature_tiles(F_pad, 0, layout)
+    meta = _pack_meta(layout, layout.gather1, layout.gather2)
+    w3 = w_chunks[:, None, :]
+    kernel = functools.partial(_kernel_two_gather, num_chunks=layout.num_chunks)
     pieces = []
     for f0 in range(0, F_pad, tf):
         fw = min(tf, F_pad - f0)
@@ -267,10 +327,8 @@ def rspmm_gather2(
             num_scalar_prefetch=1,
             grid=(layout.num_chunks,),
             in_specs=[
-                _smem_spec(te),
-                _smem_spec(te),
-                _smem_spec(te),
-                _smem_spec(te),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
@@ -278,6 +336,10 @@ def rspmm_gather2(
                 (tv, fw), lambda c, cr: (cr[c, 0], 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
+                pltpu.SMEM((2, 4, te), jnp.int32),
+                pltpu.SMEM((2, 1, te), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((NBUF, 1, fw), jnp.float32),
                 pltpu.VMEM((NBUF, 1, fw), jnp.float32),
                 pltpu.SemaphoreType.DMA((NBUF,)),
@@ -285,7 +347,7 @@ def rspmm_gather2(
             ],
         )
         piece = pl.pallas_call(
-            _kernel_two_gather,
+            kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(
                 (layout.padded_rows, fw), jnp.float32
@@ -296,10 +358,8 @@ def rspmm_gather2(
             interpret=interpret,
         )(
             layout.cr_pairs,
-            layout.gather1,
-            layout.gather2,
-            layout.row_local,
-            w_chunks,
+            meta,
+            w3,
             x[:, f0 : f0 + fw].reshape(Vx, 1, fw),
             g[:, f0 : f0 + fw].reshape(Vg, 1, fw),
         )

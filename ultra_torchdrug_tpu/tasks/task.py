@@ -41,6 +41,7 @@ from .kg import (
     evaluate_ranking,
     filtered_ranking,
     margin_ranking,
+    toy_eval_ranking,
 )
 
 DEFAULT_TRANSDUCTIVE_METRICS = (
@@ -63,6 +64,7 @@ class TaskConfig:
     fact_ratio: Optional[float] = None
     full_batch_eval: bool = True
     metric_per_rel: bool = False
+    toy_eval: bool = False  # 50-sampled-negative protocol (task.py:474-484)
 
 
 def _criterion_loss(cfg: TaskConfig, scores, sample_weight=None):
@@ -144,7 +146,7 @@ class _TaskBase:
         V = fact_graph.num_nodes
         fact_und, rel_graph = self._prepare_graphs(fact_graph, rel_graph)
 
-        def eval_fn(params, batch):
+        def eval_fn(params, batch, key=None):
             h, t, r = batch[:, 0], batch[:, 1], batch[:, 2]
             t_scores, h_scores = ultra_eval_scores(
                 params, self.model_cfg, fact_graph, rel_graph, h, t, r,
@@ -152,6 +154,16 @@ class _TaskBase:
             )
             t_truth = tail_truth_mask(filter_graph.edge_list, h, r, V)
             h_truth = head_truth_mask(filter_graph.edge_list, t, r, V)
+            if cfg.toy_eval:
+                kt, kh = jax.random.split(key)
+                t_pos = jnp.take_along_axis(t_scores, t[:, None], axis=1)
+                h_pos = jnp.take_along_axis(h_scores, h[:, None], axis=1)
+                t_rank = toy_eval_ranking(kt, t_pos, t_scores, ~t_truth)
+                h_rank = toy_eval_ranking(kh, h_pos, h_scores, ~h_truth)
+                ranking = jnp.stack([t_rank, h_rank], axis=1).astype(jnp.int32)
+                # sampled protocol: 50 negatives + positive (task.py:499-501)
+                num_cand = jnp.full(ranking.shape, 51.0, jnp.float32)
+                return ranking, num_cand
             t_rank = filtered_ranking(t_scores, t, t_truth, cfg.filtered_ranking)
             h_rank = filtered_ranking(h_scores, h, h_truth, cfg.filtered_ranking)
             ranking = jnp.stack([t_rank, h_rank], axis=1)
@@ -173,7 +185,8 @@ class _TaskBase:
             pad = batch_size - len(chunk)
             if pad:
                 chunk = np.concatenate([chunk, np.repeat(chunk[:1], pad, 0)], 0)
-            ranking, num_cand = eval_fn(params, jnp.asarray(chunk))
+            key = jax.random.fold_in(jax.random.PRNGKey(1024), start)
+            ranking, num_cand = eval_fn(params, jnp.asarray(chunk), key)
             rankings.append(np.asarray(ranking)[: batch_size - pad])
             cands.append(np.asarray(num_cand)[: batch_size - pad])
         return np.concatenate(rankings, 0), np.concatenate(cands, 0)
