@@ -33,13 +33,22 @@ def build_workload(V=15000, E=544 * 1024, R=474, B=64, D=64, seed=0):
     return triplets, rel, x
 
 
-def bench_impl(impl, triplets, rel, x, V, R, chain=4, repeats=3):
+def bench_impl(impl, triplets, rel, x, V, R, chain=4, repeats=3, batch_chunk=None):
+    """batch_chunk: evaluate on a B-slice and scale the time as if the full
+    batch ran in B/batch_chunk sequential passes — the XLA segment-op baseline
+    materializes [E, B, D] messages (18+ GB at the full workload) and cannot
+    run unchunked on a 16 GB chip; chunking is what a non-fused implementation
+    must actually do."""
     import jax
     import jax.numpy as jnp
 
     from ultra_torchdrug_tpu.data.graph import Graph
     from ultra_torchdrug_tpu.ops.rspmm import generalized_rspmm
 
+    scale = 1.0
+    if batch_chunk is not None and batch_chunk < x.shape[1]:
+        scale = x.shape[1] / batch_chunk
+        x = x[:, :batch_chunk]
     g = Graph.from_triplets(triplets, V, R)
     layouts = None
     if impl == "pallas":
@@ -75,7 +84,7 @@ def bench_impl(impl, triplets, rel, x, V, R, chain=4, repeats=3):
         out = chain_fn(x0, relation)
         jax.block_until_ready(out)
         best = min(best, time.time() - t0)
-    per_step = best / chain  # one fwd+bwd
+    per_step = best / chain * scale  # one full-batch fwd+bwd
     E = triplets.shape[0]
     return E / per_step, per_step
 
@@ -94,7 +103,7 @@ def main():
 
     # baseline: XLA segment-op implementation on the same backend
     base_edges_per_s, base_step = bench_impl(
-        "xla", triplets, rel, x, V, R, chain=2, repeats=2
+        "xla", triplets, rel, x, V, R, chain=2, repeats=2, batch_chunk=16
     )
 
     result = {

@@ -33,7 +33,7 @@ class CsrLayout:
       row_local: output row offset within the row tile
       edge_id:   index into the ORIGINAL edge array (weight re-gather)
       valid:     1.0 for real edges, 0.0 for alignment padding
-      cr_pairs:  [C, 2] (row_tile_of_chunk, row_tile_of_prev_chunk)
+      cr_pairs:  [2, C] (row_tile_of_chunk; row_tile_of_prev_chunk)
     """
 
     gather1: jnp.ndarray
@@ -133,7 +133,10 @@ def _finalize_layout(
 
     cr = np.full(Cp, chunk_row[-1] if C else 0, np.int32)
     cr[:C] = chunk_row
-    cr_pairs = np.stack([cr, np.concatenate([[-1], cr[:-1]])], 1).astype(np.int32)
+    # [2, Cp] layout: scalar-prefetch arrays live in SMEM where the minor
+    # dimension is padded to 128 lanes — [Cp, 2] would blow the ~1MB SMEM cap
+    # for million-edge graphs (Cp x 128 x 4 bytes)
+    cr_pairs = np.stack([cr, np.concatenate([[-1], cr[:-1]])], 0).astype(np.int32)
 
     return CsrLayout(
         gather1=jnp.asarray(to_chunks(g1)),

@@ -72,7 +72,7 @@ def _kernel_one_gather(
     slot = jax.lax.rem(c, 2)
     nxt = jax.lax.rem(c + 1, 2)
 
-    @pl.when(cr_ref[c, 0] != cr_ref[c, 1])
+    @pl.when(cr_ref[0, c] != cr_ref[1, c])
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
@@ -140,7 +140,7 @@ def _kernel_two_gather(
     slot = jax.lax.rem(c, 2)
     nxt = jax.lax.rem(c + 1, 2)
 
-    @pl.when(cr_ref[c, 0] != cr_ref[c, 1])
+    @pl.when(cr_ref[0, c] != cr_ref[1, c])
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
@@ -280,7 +280,7 @@ def rspmm_gather1(
             grid=(layout.num_chunks,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (tv, fw), lambda c, cr: (cr[c, 0], 0), memory_space=pltpu.VMEM
+                (tv, fw), lambda c, cr: (cr[0, c], 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=scratch,
         )
@@ -333,7 +333,7 @@ def rspmm_gather2(
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
-                (tv, fw), lambda c, cr: (cr[c, 0], 0), memory_space=pltpu.VMEM
+                (tv, fw), lambda c, cr: (cr[0, c], 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
                 pltpu.SMEM((2, 4, te), jnp.int32),
