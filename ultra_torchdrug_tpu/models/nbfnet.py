@@ -162,6 +162,19 @@ def rel_nbfnet_apply(params, cfg: NBFNetConfig, rel_graph, query_rels) -> jnp.nd
     return out.transpose(1, 0, 2)  # [B, V(=2R), D]
 
 
+def rel_nbfnet_apply_shared(params, cfg: NBFNetConfig, rel_graph, query_rels) -> jnp.ndarray:
+    """CustomNBFNet variant (rel_model.py:227-339): ALL query relations of the
+    batch are labeled in a single graph channel; the output [2R, D] is shared
+    across the batch (no per-query conditioning). boundary[r] = 1 for every
+    r in query_rels (set, not add — rel_model.py:276)."""
+    D = cfg.input_dim
+    V = rel_graph.num_nodes
+    boundary = jnp.zeros((V, 1, D), jnp.float32)
+    boundary = boundary.at[query_rels, 0].set(1.0)
+    out = _propagate(params["layers"], cfg.layer_configs(), rel_graph, boundary, cfg)
+    return out[:, 0, :]  # [V(=2R), D]
+
+
 # ---------------------------------------------------------------------------
 # entity-graph tower (TransferNBFNet)
 # ---------------------------------------------------------------------------
@@ -213,7 +226,7 @@ def entity_nbfnet_score_all(
     params,
     cfg: NBFNetConfig,
     graph,
-    rel_queries: jnp.ndarray,
+    rel_queries,
     source: jnp.ndarray,
     query_rel: jnp.ndarray,
     edge_grad: bool = False,
@@ -222,19 +235,42 @@ def entity_nbfnet_score_all(
 
     Args:
       graph: undirected+inverse entity graph (2R relation types)
-      rel_queries: [B, 2R, D] injected relation representations
+      rel_queries: injected relation representations — [B, 2R, D] (per-batch),
+        [2R, D] (shared, CustomNBFNet-style), or a LIST of num_layers + 1
+        such tensors: element 0 seeds the query, element i+1 feeds layer i
+        (the multi-rel-model wiring of model.py:149-156)
       source: int [B] source entities; query_rel: int [B] in [0, 2R)
     Returns: [B, V] scores (model.py:176-194 with all-entity targets).
     """
     B = source.shape[0]
-    query = rel_queries[jnp.arange(B), query_rel]  # [B, D]
+    if isinstance(rel_queries, (list, tuple)):
+        query_src = rel_queries[0]
+        if len(rel_queries) == 1:
+            per_layer = [rel_queries[0]] * len(cfg.hidden_dims)
+        else:
+            assert len(rel_queries) == len(cfg.hidden_dims) + 1
+            per_layer = list(rel_queries[1:])
+    else:
+        query_src = rel_queries
+        per_layer = [rel_queries] * len(cfg.hidden_dims)
+    if query_src.ndim == 3:
+        query = query_src[jnp.arange(B), query_rel]  # [B, D]
+    else:  # shared [2R, D]
+        query = query_src[query_rel]
     V = graph.num_nodes
     boundary = jnp.zeros((V, B, cfg.input_dim), jnp.float32)
     boundary = boundary.at[source, jnp.arange(B)].add(query)
-    final = _propagate(
-        params["layers"], cfg.layer_configs(), graph, boundary, cfg,
-        rel_injected=rel_queries, edge_grad=edge_grad,
-    )  # [V, B, D']
+    # per-layer injection: run the conv stack explicitly
+    hiddens = []
+    x = boundary
+    for p, lcfg, rel_i in zip(params["layers"], cfg.layer_configs(), per_layer):
+        h = conv_apply(p, lcfg, graph, x, boundary,
+                       rel_injected=rel_i, edge_grad=edge_grad)
+        if cfg.short_cut and h.shape == x.shape:
+            h = h + x
+        hiddens.append(h)
+        x = h
+    final = jnp.concatenate(hiddens, -1) if cfg.concat_hidden else hiddens[-1]
     node_query = jnp.broadcast_to(query[None, :, :], (V, B, cfg.input_dim))
     feature = jnp.concatenate([final, node_query], axis=-1)  # [V, B, F]
     score = mlp_apply(params["mlp"], feature)[..., 0]  # [V, B]

@@ -33,6 +33,7 @@ from .nbfnet import (
     entity_nbfnet_init,
     entity_nbfnet_score_all,
     rel_nbfnet_apply,
+    rel_nbfnet_apply_shared,
     rel_nbfnet_config,
     rel_nbfnet_init,
 )
@@ -43,6 +44,12 @@ class UltraConfig:
     entity: NBFNetConfig
     relation: NBFNetConfig
     remove_one_hop: bool = False
+    # RelationModelList support (rel_model.py:209-223): >1 towers feed the
+    # entity layers individually (model.py:149-156 requires num_layers + 1)
+    num_rel_models: int = 1
+    # CustomNBFNet-style shared labeling (one [2R, D] output for the batch)
+    # instead of CustomNBFNetFull per-query conditioning
+    rel_shared: bool = False
 
     @staticmethod
     def default(num_relations: int, rspmm_impl: str = "xla") -> "UltraConfig":
@@ -61,10 +68,25 @@ class UltraConfig:
 
 def ultra_init(key, cfg: UltraConfig) -> dict:
     k1, k2 = jax.random.split(key)
+    if cfg.num_rel_models == 1:
+        relation = rel_nbfnet_init(k2, cfg.relation)
+    else:
+        keys = jax.random.split(k2, cfg.num_rel_models)
+        relation = [rel_nbfnet_init(k, cfg.relation) for k in keys]
     return {
         "entity": entity_nbfnet_init(k1, cfg.entity),
-        "relation": rel_nbfnet_init(k2, cfg.relation),
+        "relation": relation,
     }
+
+
+def _rel_queries(params, cfg: UltraConfig, rel_graph, pos_r):
+    """Run the relation tower(s); returns a single tensor or a list."""
+    apply = rel_nbfnet_apply_shared if cfg.rel_shared else rel_nbfnet_apply
+    if cfg.num_rel_models == 1:
+        return apply(params["relation"], cfg.relation, rel_graph, pos_r)
+    return [
+        apply(p, cfg.relation, rel_graph, pos_r) for p in params["relation"]
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -157,9 +179,7 @@ def ultra_train_scores(
         h_index, t_index, r_index, fact_graph.num_relations
     )
 
-    rel_queries = rel_nbfnet_apply(
-        params["relation"], cfg.relation, rel_graph, pos_r
-    )  # [B, 2R, D]
+    rel_queries = _rel_queries(params, cfg, rel_graph, pos_r)  # [B, 2R, D]
 
     scores_all = entity_nbfnet_score_all(
         params["entity"], cfg.entity, graph_und, rel_queries,
@@ -185,9 +205,7 @@ def ultra_eval_scores(
         if fact_graph_und is None
         else fact_graph_und
     )
-    rel_queries = rel_nbfnet_apply(
-        params["relation"], cfg.relation, rel_graph, pos_r
-    )
+    rel_queries = _rel_queries(params, cfg, rel_graph, pos_r)
     t_scores = entity_nbfnet_score_all(
         params["entity"], cfg.entity, graph_und, rel_queries,
         source=pos_h, query_rel=pos_r,

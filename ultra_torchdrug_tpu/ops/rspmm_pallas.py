@@ -128,6 +128,84 @@ def _kernel_one_gather(
 
 
 # ---------------------------------------------------------------------------
+# kernel template C: fused backward — one pass over the src-sorted (rev)
+# layout produces BOTH gradients. Key observation: with edges sorted by src,
+# the output row tile of d_input[src] is exactly the x row range the
+# d_relation SDDMM needs, so x arrives as a pipelined VMEM block instead of
+# per-edge gathers; only g[dst] rows are DMA'd. d_relation accumulates into a
+# constant-indexed second output flushed once at the end.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_bwd_fused(
+    cr_ref, meta_hbm, w_hbm, g_hbm, rel_ref, x_ref, dx_ref, dr_ref,
+    mbuf, wbuf, msems, wsems, gbuf, sems, *, mode: str, num_chunks: int
+):
+    """meta rows: (0: dst index to gather from g, 1: etype, 2: src row_local).
+    mode 'mul': dx += w*rel[r]*g[dst]; dr[r] += w*x[src]*g[dst]
+    mode 'add' (transe): dx += w*g[dst]; dr[r] += w*g[dst]."""
+    c = pl.program_id(0)
+    slot = jax.lax.rem(c, 2)
+    nxt = jax.lax.rem(c + 1, 2)
+
+    @pl.when(cr_ref[0, c] != cr_ref[1, c])
+    def _():
+        dx_ref[...] = jnp.zeros_like(dx_ref)
+
+    @pl.when(c == 0)
+    def _():
+        dr_ref[...] = jnp.zeros_like(dr_ref)
+        md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, 0, 0)
+        md.start()
+        wd.start()
+
+    md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c, slot)
+    md.wait()
+    wd.wait()
+
+    @pl.when(c + 1 < num_chunks)
+    def _():
+        md2, wd2 = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c + 1, nxt)
+        md2.start()
+        wd2.start()
+
+    def g_dma(i):
+        dslot = jax.lax.rem(i, NBUF)
+        return pltpu.make_async_copy(
+            g_hbm.at[mbuf[slot, 0, i]], gbuf.at[dslot], sems.at[dslot]
+        )
+
+    for i in range(NBUF):
+        g_dma(i).start()
+
+    te = mbuf.shape[-1]
+
+    def body(i, _):
+        g_dma(i).wait()
+        grow = gbuf[jax.lax.rem(i, NBUF), 0]
+
+        @pl.when(i + NBUF < te)
+        def _():
+            g_dma(i + NBUF).start()
+
+        w = wbuf[slot, 0, i]
+        r = mbuf[slot, 1, i]
+        d = mbuf[slot, 2, i]
+        gw = grow * w
+        if mode == "mul":
+            dx_msg = rel_ref[r] * gw
+            dr_msg = x_ref[pl.ds(d, 1), :] * gw[None, :]
+        else:  # transe
+            dx_msg = gw
+            dr_msg = gw[None, :]
+        dx_ref[pl.ds(d, 1), :] = dx_ref[pl.ds(d, 1), :] + dx_msg[None, :]
+        dr_ref[pl.ds(r, 1), :] = dr_ref[pl.ds(r, 1), :] + dr_msg
+        return 0
+
+    jax.lax.fori_loop(0, te, body, 0)
+
+
+# ---------------------------------------------------------------------------
 # kernel template B: two gathered operands (d_relation, distmult)
 # ---------------------------------------------------------------------------
 
@@ -204,8 +282,10 @@ def _kernel_two_gather(
 
 
 def _feature_tiles(F_pad: int, rel_rows: int, layout: CsrLayout) -> int:
-    """Pick a feature tile width keeping VMEM under ~10 MB."""
-    budget = 10 * 1024 * 1024 // 4  # f32 words
+    """Pick a feature tile width keeping VMEM in budget. Wide tiles matter:
+    every extra feature pass re-pays the per-edge scalar/DMA overhead, so the
+    budget is set high (v5e has 128 MB VMEM) to make F=4096 single-pass."""
+    budget = 48 * 1024 * 1024 // 4  # f32 words
     per_f = rel_rows + 2 * layout.tile_rows + 2 * NBUF + 8
     tf = max(_LANE, (budget // per_f) // _LANE * _LANE)
     return min(F_pad, tf)
@@ -298,6 +378,101 @@ def rspmm_gather1(
         pieces.append(piece)
     out = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
     return out[:, :F]
+
+
+def rspmm_bwd_fused(
+    x_flat: jnp.ndarray,
+    g_flat: jnp.ndarray,
+    relation_flat: jnp.ndarray,
+    w_chunks: jnp.ndarray,
+    layout: CsrLayout,
+    interpret: Optional[bool] = None,
+):
+    """Fused distmult backward over the src-sorted layout.
+    Returns (dx [padded_rows, F], dr [R_pad, F])."""
+    interpret = _interpret_default() if interpret is None else interpret
+    V, F = x_flat.shape
+    F_pad = _pad_lane(F)
+    te, tv = layout.tile_edges, layout.tile_rows
+    if F_pad != F:
+        x_flat = jnp.pad(x_flat, ((0, 0), (0, F_pad - F)))
+        g_flat = jnp.pad(g_flat, ((0, 0), (0, F_pad - F)))
+        relation_flat = jnp.pad(relation_flat, ((0, 0), (0, F_pad - F)))
+    r_pad = -(-relation_flat.shape[0] // 8) * 8
+    if r_pad != relation_flat.shape[0]:
+        relation_flat = jnp.pad(
+            relation_flat, ((0, r_pad - relation_flat.shape[0]), (0, 0))
+        )
+    # x padded to the full row-tile range (block-indexed by output tile)
+    if x_flat.shape[0] < layout.padded_rows:
+        x_flat = jnp.pad(x_flat, ((0, layout.padded_rows - x_flat.shape[0]), (0, 0)))
+
+    # feature tiling: rel + dr + double-buffered x/dx blocks + gather buffers
+    budget = 48 * 1024 * 1024 // 4
+    per_f = 2 * r_pad + 4 * tv + NBUF + 8
+    tf = max(_LANE, (budget // per_f) // _LANE * _LANE)
+    tf = min(F_pad, tf)
+
+    meta = _pack_meta(layout, layout.gather1, layout.aux)
+    w3 = w_chunks[:, None, :]
+    kernel = functools.partial(
+        _kernel_bwd_fused, mode="mul", num_chunks=layout.num_chunks
+    )
+    dx_pieces, dr_pieces = [], []
+    Vg = g_flat.shape[0]
+    for f0 in range(0, F_pad, tf):
+        fw = min(tf, F_pad - f0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(layout.num_chunks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # meta
+                pl.BlockSpec(memory_space=pl.ANY),  # weights
+                pl.BlockSpec(memory_space=pl.ANY),  # g in HBM (gathered)
+                pl.BlockSpec((r_pad, fw), lambda c, cr: (0, 0),
+                             memory_space=pltpu.VMEM),  # relation
+                pl.BlockSpec((tv, fw), lambda c, cr: (cr[0, c], 0),
+                             memory_space=pltpu.VMEM),  # x row-tile block
+            ],
+            out_specs=(
+                pl.BlockSpec((tv, fw), lambda c, cr: (cr[0, c], 0),
+                             memory_space=pltpu.VMEM),  # dx
+                pl.BlockSpec((r_pad, fw), lambda c, cr: (0, 0),
+                             memory_space=pltpu.VMEM),  # dr accumulator
+            ),
+            scratch_shapes=[
+                pltpu.SMEM((2, 4, te), jnp.int32),
+                pltpu.SMEM((2, 1, te), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((NBUF, 1, fw), jnp.float32),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+            ],
+        )
+        dx_p, dr_p = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((layout.padded_rows, fw), jnp.float32),
+                jax.ShapeDtypeStruct((r_pad, fw), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            layout.cr_pairs,
+            meta,
+            w3,
+            g_flat[:, f0 : f0 + fw].reshape(Vg, 1, fw),
+            relation_flat[:, f0 : f0 + fw],
+            x_flat[:, f0 : f0 + fw],
+        )
+        dx_pieces.append(dx_p)
+        dr_pieces.append(dr_p)
+    dx = dx_pieces[0] if len(dx_pieces) == 1 else jnp.concatenate(dx_pieces, 1)
+    dr = dr_pieces[0] if len(dr_pieces) == 1 else jnp.concatenate(dr_pieces, 1)
+    return dx[:, :F], dr[:, :F]
 
 
 def rspmm_gather2(
@@ -406,16 +581,12 @@ def rspmm_bwd_pallas(layouts, edge_weight, relation, x, g, *, msg):
     B = x.shape[1]
     g_flat = _flat(g)
     if msg == "mul":
-        dx = rspmm_gather1(
-            g_flat, _rel_flat(relation, B),
+        dx_flat, dr_flat = rspmm_bwd_fused(
+            _flat(x), g_flat, _rel_flat(relation, B),
             _weight_chunks(edge_weight, layouts.rev),
-            layouts.rev, layouts.rev.gather1, mode="mul_rel",
-        )[: x.shape[0]].reshape(x.shape)
-        dr_flat = rspmm_gather2(
-            _flat(x), g_flat,
-            _weight_chunks(edge_weight, layouts.rel),
-            layouts.rel,
+            layouts.rev,
         )
+        dx = dx_flat[: x.shape[0]].reshape(x.shape)
     else:  # transe
         dx = rspmm_gather1(
             g_flat, None,
