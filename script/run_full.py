@@ -75,6 +75,10 @@ def main(argv=None):
     logger.info(f"Config file: {args.config}")
     logger.info(pprint.pformat(cfg))
 
+    if cfg.get("debug"):
+        from ultra_torchdrug_tpu.utils.debug import setup_debug_hook
+
+        setup_debug_hook()
     dataset = build_dataset(cfg["dataset"])
     task = build_task(cfg["task"], dataset, rspmm_impl=cfg.get("rspmm_impl", "auto"),
                       seed=args.seed)

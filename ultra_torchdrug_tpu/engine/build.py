@@ -53,17 +53,21 @@ def build_model_config(cfg_task: dict, num_relations: int, rspmm_impl: str = "au
         project=bool(m.get("project", True)),
         rspmm_impl=impl,
     )
-    rm = cfg_task.get("rel_models", {}).get("rel_model", {})
+    rel_models_cfg = cfg_task.get("rel_models", {})
+    rm = rel_models_cfg.get("rel_model", {})
     relation = rel_nbfnet_config(
         input_dim=rm.get("input_dim", 64),
         hidden=rm.get("hidden", 64),
         num_layers=rm.get("num_layers", 6),
         rspmm_impl=impl,
+        learn_query=bool(rm.get("learn_query", False)),
     )
     return UltraConfig(
         entity=entity,
         relation=relation,
         remove_one_hop=bool(m.get("remove_one_hop", False)),
+        num_rel_models=int(rel_models_cfg.get("num_rel_models", 1)),
+        rel_shared=rm.get("class_str") == "CustomNBFNet",
     )
 
 

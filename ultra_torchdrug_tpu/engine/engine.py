@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import math
 import os
+import time
 from typing import Optional
 
 import jax
@@ -75,6 +76,7 @@ class Engine:
         self.epoch = 0
         self._is_multigraph = isinstance(task, MultiGraphPretrainTask)
         self._step_fns = {}
+        self.profile_dir: Optional[str] = None  # set to capture a JAX trace
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -109,8 +111,25 @@ class Engine:
         self._step_fns[graph_id] = fn
         return fn
 
+    def _edges_per_step(self, graph_id=0) -> int:
+        """Propagated edges per optimizer step (undirected entity graph x
+        layers x fwd+bwd) — the throughput telemetry denominator."""
+        task = self.task
+        if self._is_multigraph:
+            fact = task.fact_graphs[graph_id]
+        elif hasattr(task, "fact_graph"):
+            fact = task.fact_graph
+        else:
+            fact = task.dataset.train_graph
+        layers = len(task.model_cfg.entity.hidden_dims)
+        return 2 * fact.num_edges * layers * 2  # und edges x layers x fwd/bwd
+
     def train(self, num_epoch: int = 1, batch_per_epoch: Optional[int] = None):
         task = self.task
+        profiling = False
+        if self.profile_dir and not getattr(self, "_profiled", False):
+            jax.profiler.start_trace(self.profile_dir)
+            profiling, self._profiled = True, True
         for _ in range(num_epoch):
             self.epoch += 1
             if self._is_multigraph:
@@ -121,9 +140,13 @@ class Engine:
                         reps = -(-self.batch_size // len(batch))
                         batch = np.tile(batch, (reps, 1))[: self.batch_size]
                     step_fn = self._get_step_fn(gid)
+                    t0 = time.time()
                     self.params, self.opt_state, metrics = step_fn(
                         self.params, self.opt_state, self._next_key(),
                         jnp.asarray(batch), None,
+                    )
+                    metrics["edges_per_s"] = self._edges_per_step(gid) / max(
+                        time.time() - t0, 1e-9
                     )
                     self.meter.update(metrics)
             else:
@@ -140,13 +163,21 @@ class Engine:
                         )
                     batch = triples[idx]
                     sw = task.sample_weight_for(batch)
+                    t0 = time.time()
                     self.params, self.opt_state, metrics = step_fn(
                         self.params, self.opt_state, self._next_key(),
                         jnp.asarray(batch), sw,
                     )
+                    metrics["edges_per_s"] = self._edges_per_step() / max(
+                        time.time() - t0, 1e-9
+                    )
                     self.meter.update(metrics)
             self.meter.log_window()
             self.logger.info(f"epoch {self.epoch} done")
+        if profiling:
+            jax.block_until_ready(self.params)
+            jax.profiler.stop_trace()
+            self.logger.info(f"profiler trace -> {self.profile_dir}")
 
     def evaluate(self, split: str, fast_test: Optional[int] = None):
         self.logger.info(f"Evaluate on {split}")

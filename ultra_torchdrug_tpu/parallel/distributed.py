@@ -1,0 +1,74 @@
+"""Multi-host runtime: coordinator-based initialization + cross-host
+collectives for the engine.
+
+Replaces the reference's torch.distributed/NCCL layer
+(/root/reference/ultra/util.py:104-128 env:// rendezvous + shared-FS workdir
+sync; engine.py:89-90,148-150 metric reduce / eval gather). JAX's distributed
+runtime uses a coordinator address instead of a shared filesystem; collectives
+ride the ICI/DCN fabric through jit-compiled psums and process-level
+all-gathers.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
+    """Initialize multi-host JAX. No-op when single-process (the common
+    single-host case, mirroring the reference's lazy world_size>1 init)."""
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if num_processes <= 1:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def reduce_metrics_mean(metrics: Dict[str, float]) -> Dict[str, float]:
+    """Mean-allreduce a metric dict across processes (comm.reduce(op="mean"),
+    engine.py:89-90). Uses a tiny jitted psum over all devices."""
+    if jax.process_count() == 1:
+        return metrics
+    keys = sorted(metrics)
+    vec = np.asarray([float(metrics[k]) for k in keys], np.float32)
+    summed = jax.experimental.multihost_utils.process_allgather(vec)
+    mean = np.asarray(summed).mean(axis=0)
+    return dict(zip(keys, mean.tolist()))
+
+
+def gather_rankings(ranking: np.ndarray) -> np.ndarray:
+    """Concatenate eval rankings from all processes (comm.cat,
+    engine.py:148-150)."""
+    if jax.process_count() == 1:
+        return ranking
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(ranking)
+    return np.asarray(gathered).reshape(-1, *ranking.shape[1:])
+
+
+def shard_eval_triples(triples: np.ndarray) -> np.ndarray:
+    """Round-robin shard of the eval set per process (DistributedSampler over
+    eval triples, engine.py:130)."""
+    return triples[jax.process_index() :: jax.process_count()]

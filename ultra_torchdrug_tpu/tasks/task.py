@@ -177,7 +177,13 @@ class _TaskBase:
     # -- host-side eval loop ----------------------------------------------
 
     def _run_eval(self, eval_fn, params, triples: np.ndarray, batch_size: int):
-        """Pad-to-batch eval loop; returns (ranking, num_cand) numpy [N,2]."""
+        """Pad-to-batch eval loop; returns (ranking, num_cand) numpy [N,2].
+        Under multi-host execution each process scores a round-robin shard and
+        results are all-gathered (the reference's DistributedSampler +
+        comm.cat, engine.py:130,148-150)."""
+        from ..parallel import distributed as dist
+
+        triples = dist.shard_eval_triples(triples)
         n = len(triples)
         rankings, cands = [], []
         for start in range(0, n, batch_size):
@@ -189,7 +195,9 @@ class _TaskBase:
             ranking, num_cand = eval_fn(params, jnp.asarray(chunk), key)
             rankings.append(np.asarray(ranking)[: batch_size - pad])
             cands.append(np.asarray(num_cand)[: batch_size - pad])
-        return np.concatenate(rankings, 0), np.concatenate(cands, 0)
+        ranking = np.concatenate(rankings, 0) if rankings else np.zeros((0, 2), np.int32)
+        cand = np.concatenate(cands, 0) if cands else np.zeros((0, 2), np.float32)
+        return dist.gather_rankings(ranking), dist.gather_rankings(cand)
 
     def _metrics_from_rankings(
         self, ranking: np.ndarray, num_cand: np.ndarray, rel: Optional[np.ndarray]

@@ -17,16 +17,25 @@ from collections import defaultdict
 def get_root_logger(log_file: str | None = "log.txt") -> logging.Logger:
     logger = logging.getLogger("ultra_tpu")
     logger.setLevel(logging.INFO)
-    if logger.handlers:
-        return logger
     fmt = logging.Formatter("%(asctime)-10s %(message)s", "%H:%M:%S")
-    sh = logging.StreamHandler(sys.stderr)
-    sh.setFormatter(fmt)
-    logger.addHandler(sh)
+    if not any(isinstance(h, logging.StreamHandler) and
+               not isinstance(h, logging.FileHandler) for h in logger.handlers):
+        sh = logging.StreamHandler(sys.stderr)
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
     if log_file:
-        fh = logging.FileHandler(log_file)
-        fh.setFormatter(fmt)
-        logger.addHandler(fh)
+        path = os.path.abspath(log_file)
+        existing = [
+            h for h in logger.handlers if isinstance(h, logging.FileHandler)
+        ]
+        if not any(getattr(h, "baseFilename", None) == path for h in existing):
+            # one file sink per run: retarget to the current working directory
+            for h in existing:
+                logger.removeHandler(h)
+                h.close()
+            fh = logging.FileHandler(path)
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
     return logger
 
 
