@@ -104,8 +104,14 @@ def _kernel_one_gather(
         get_dma(i).start()
 
     te = mbuf.shape[-1]
+    fw = out_ref.shape[-1]
 
-    def body(i, _):
+    # run accumulation: edges are row-sorted, so consecutive edges usually
+    # share the output row (mean in-degree). Accumulate the current run in
+    # registers and touch the output row only on row change — this removes
+    # the per-edge read-modify-write that otherwise dominates.
+    def body(i, carry):
+        d_prev, acc = carry
         get_dma(i).wait()
         xrow = xbuf[jax.lax.rem(i, NBUF), 0]
 
@@ -121,10 +127,21 @@ def _kernel_one_gather(
         else:  # none
             msg = xrow * w
         d = mbuf[slot, 2, i]
-        out_ref[pl.ds(d, 1), :] = out_ref[pl.ds(d, 1), :] + msg[None, :]
-        return 0
+        flush = d != d_prev
 
-    jax.lax.fori_loop(0, te, body, 0)
+        @pl.when(flush)
+        def _():
+            out_ref[pl.ds(d_prev, 1), :] = out_ref[pl.ds(d_prev, 1), :] + acc[None, :]
+
+        acc = jnp.where(flush, msg, acc + msg)
+        return d, acc
+
+    # row_local of padding chunks is 0, so a dummy previous row of 0 with a
+    # zero accumulator is always safe
+    d_last, acc_last = jax.lax.fori_loop(
+        0, te, body, (0, jnp.zeros((fw,), jnp.float32))
+    )
+    out_ref[pl.ds(d_last, 1), :] = out_ref[pl.ds(d_last, 1), :] + acc_last[None, :]
 
 
 # ---------------------------------------------------------------------------
@@ -179,8 +196,12 @@ def _kernel_bwd_fused(
         g_dma(i).start()
 
     te = mbuf.shape[-1]
+    fw = dx_ref.shape[-1]
 
-    def body(i, _):
+    # run accumulation on dx (edges are src-sorted): registers hold the
+    # current source row's gradient and its x row; flushed on row change.
+    def body(i, carry):
+        d_prev, dx_acc, x_row = carry
         g_dma(i).wait()
         grow = gbuf[jax.lax.rem(i, NBUF), 0]
 
@@ -191,18 +212,34 @@ def _kernel_bwd_fused(
         w = wbuf[slot, 0, i]
         r = mbuf[slot, 1, i]
         d = mbuf[slot, 2, i]
+        flush = d != d_prev
+
+        @pl.when(flush)
+        def _():
+            dx_ref[pl.ds(d_prev, 1), :] = (
+                dx_ref[pl.ds(d_prev, 1), :] + dx_acc[None, :]
+            )
+
+        x_row = jnp.where(flush, x_ref[d], x_row)
         gw = grow * w
         if mode == "mul":
             dx_msg = rel_ref[r] * gw
-            dr_msg = x_ref[pl.ds(d, 1), :] * gw[None, :]
+            dr_msg = x_row * gw
         else:  # transe
             dx_msg = gw
-            dr_msg = gw[None, :]
-        dx_ref[pl.ds(d, 1), :] = dx_ref[pl.ds(d, 1), :] + dx_msg[None, :]
-        dr_ref[pl.ds(r, 1), :] = dr_ref[pl.ds(r, 1), :] + dr_msg
-        return 0
+            dr_msg = gw
+        dx_acc = jnp.where(flush, dx_msg, dx_acc + dx_msg)
+        dr_ref[pl.ds(r, 1), :] = dr_ref[pl.ds(r, 1), :] + dr_msg[None, :]
+        return d, dx_acc, x_row
 
-    jax.lax.fori_loop(0, te, body, 0)
+    # d_prev starts at -1 so the first edge always "flushes" (loading its x
+    # row); the flush write dynamic-slices at -1, which clamps to row 0 and
+    # adds a zero accumulator — harmless.
+    d_last, dx_last, _ = jax.lax.fori_loop(
+        0, te, body,
+        (-1, jnp.zeros((fw,), jnp.float32), jnp.zeros((fw,), jnp.float32)),
+    )
+    dx_ref[pl.ds(d_last, 1), :] = dx_ref[pl.ds(d_last, 1), :] + dx_last[None, :]
 
 
 # ---------------------------------------------------------------------------

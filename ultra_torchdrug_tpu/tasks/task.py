@@ -100,6 +100,19 @@ class _TaskBase:
     def _uses_pallas(self) -> bool:
         return self.model_cfg.entity.rspmm_impl == "pallas"
 
+    # scoring hooks — ULTRA by default; ClassicNBFNet tasks override these
+    def _train_scores(self, params, fact_graph, rel_graph, h, t, r, neg, fact_und):
+        return ultra_train_scores(
+            params, self.model_cfg, fact_graph, rel_graph, h, t, r, neg,
+            fact_graph_und=fact_und,
+        )
+
+    def _eval_scores(self, params, fact_graph, rel_graph, h, t, r, fact_und):
+        return ultra_eval_scores(
+            params, self.model_cfg, fact_graph, rel_graph, h, t, r,
+            fact_graph_und=fact_und,
+        )
+
     def _prepare_graphs(self, fact_graph: Graph, rel_graph: Graph):
         """Precompute the undirected propagation graph (and, on TPU, the CSR
         layouts the Pallas kernels consume) once per fact graph."""
@@ -125,9 +138,8 @@ class _TaskBase:
                 neg = jax.random.randint(
                     key, (batch.shape[0], cfg.num_negative), 0, num_nodes
                 )
-            scores = ultra_train_scores(
-                params, self.model_cfg, fact_graph, rel_graph, h, t, r, neg,
-                fact_graph_und=fact_und,
+            scores = self._train_scores(
+                params, fact_graph, rel_graph, h, t, r, neg, fact_und
             )
             loss = _criterion_loss(cfg, scores, sample_weight)
             metrics = {
@@ -148,9 +160,8 @@ class _TaskBase:
 
         def eval_fn(params, batch, key=None):
             h, t, r = batch[:, 0], batch[:, 1], batch[:, 2]
-            t_scores, h_scores = ultra_eval_scores(
-                params, self.model_cfg, fact_graph, rel_graph, h, t, r,
-                fact_graph_und=fact_und,
+            t_scores, h_scores = self._eval_scores(
+                params, fact_graph, rel_graph, h, t, r, fact_und
             )
             t_truth = tail_truth_mask(filter_graph.edge_list, h, r, V)
             h_truth = head_truth_mask(filter_graph.edge_list, t, r, V)
@@ -457,3 +468,74 @@ class MultiGraphPretrainTask(_TaskBase):
         }
         avg["per_graph"] = per_graph
         return avg
+
+
+# ---------------------------------------------------------------------------
+
+
+class ClassicNBFNetTask(TransductiveKGTask):
+    """Transductive KG completion with the classic NBFNet reasoner (learned
+    query embeddings, no relation tower) — the reference's
+    KnowledgeGraphCompletionBase + models.NBFNet pairing
+    (/root/reference/ultra/task.py:22-195 + model.py:198-392).
+
+    model_cfg here is an NBFNetConfig (from models.classic_nbfnet); the
+    relation graph is unused.
+    """
+
+    def __init__(self, dataset, nbf_cfg, cfg: TaskConfig = TaskConfig(),
+                 seed: int = 0):
+        from ..models.classic_nbfnet import classic_nbfnet_init
+
+        self.nbf_cfg = nbf_cfg
+        self._nbf_init = classic_nbfnet_init
+        # reuse the base wiring with a wrapper model_cfg carrying entity=nbf
+        wrapper = UltraConfig(entity=nbf_cfg, relation=nbf_cfg)
+        super().__init__(dataset, wrapper, cfg, seed=seed)
+
+    def init_params(self, key):
+        return self._nbf_init(key, self.nbf_cfg)
+
+    def _prepare_graphs(self, fact_graph, rel_graph):
+        und = fact_graph.undirected_with_inverse()
+        if self.nbf_cfg.rspmm_impl == "pallas":
+            und = und.prepare_pallas()
+        return und, rel_graph
+
+    def _train_scores(self, params, fact_graph, rel_graph, h, t, r, neg, fact_und):
+        from ..models.classic_nbfnet import classic_score_all
+        from ..models.ultra import _flip_heads_to_tails, _mask_easy_edges
+
+        B, N = h.shape[0], neg.shape[1]
+        half = B // 2
+        ar = jnp.arange(B)
+        h_index = jnp.broadcast_to(h[:, None], (B, N + 1))
+        t_index = jnp.broadcast_to(t[:, None], (B, N + 1))
+        r_index = jnp.broadcast_to(r[:, None], (B, N + 1))
+        row_is_tail = (ar < half)[:, None]
+        later = (jnp.arange(N + 1) >= 1)[None, :]
+        t_index = jnp.where(row_is_tail & later,
+                            jnp.concatenate([t[:, None], neg], 1), t_index)
+        h_index = jnp.where((~row_is_tail) & later,
+                            jnp.concatenate([h[:, None], neg], 1), h_index)
+        graph = _mask_easy_edges(self.model_cfg, fact_graph, h_index, t_index,
+                                 r_index)
+        graph_und = fact_und.with_edge_weight(
+            jnp.concatenate([graph.edge_weight, graph.edge_weight])
+        )
+        h_index, t_index, r_index = _flip_heads_to_tails(
+            h_index, t_index, r_index, fact_graph.num_relations
+        )
+        scores_all = classic_score_all(
+            params, self.nbf_cfg, graph_und, h_index[:, 0], r_index[:, 0]
+        )
+        return jnp.take_along_axis(scores_all, t_index, axis=1)
+
+    def _eval_scores(self, params, fact_graph, rel_graph, h, t, r, fact_und):
+        from ..models.classic_nbfnet import classic_score_all
+
+        t_scores = classic_score_all(params, self.nbf_cfg, fact_und, h, r)
+        h_scores = classic_score_all(
+            params, self.nbf_cfg, fact_und, t, r + fact_graph.num_relations
+        )
+        return t_scores, h_scores
