@@ -36,7 +36,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .csr import CsrLayout
 
-NBUF = 16  # per-edge DMA lookahead depth
+NBUF = 16  # per-edge DMA lookahead depth (two-gather template)
+GROUP = 8  # row DMAs per shared semaphore (grouped-wait templates)
+NGRP = 4   # groups in flight
 _LANE = 128
 
 
@@ -94,52 +96,73 @@ def _kernel_one_gather(
         md2.start()
         wd2.start()
 
-    def get_dma(i):
-        dslot = jax.lax.rem(i, NBUF)
-        return pltpu.make_async_copy(
-            data_hbm.at[mbuf[slot, 0, i]], xbuf.at[dslot], sems.at[dslot]
-        )
-
-    for i in range(NBUF):
-        get_dma(i).start()
-
     te = mbuf.shape[-1]
     fw = out_ref.shape[-1]
+    ngroups = te // GROUP
+
+    # grouped row DMAs: GROUP copies share one semaphore, waited once per
+    # group (per-edge semaphore waits were a dominant serial cost)
+    def start_group(g):
+        gslot = jax.lax.rem(g, NGRP)
+        for j in range(GROUP):
+            pltpu.make_async_copy(
+                data_hbm.at[mbuf[slot, 0, g * GROUP + j]],
+                xbuf.at[gslot * GROUP + j],
+                sems.at[gslot],
+            ).start()
+
+    def wait_group(g):
+        gslot = jax.lax.rem(g, NGRP)
+        # a descriptor spanning the group's buffer waits for exactly the
+        # group's total bytes on the shared semaphore
+        pltpu.make_async_copy(
+            xbuf.at[pl.ds(gslot * GROUP, GROUP)],
+            xbuf.at[pl.ds(gslot * GROUP, GROUP)],
+            sems.at[gslot],
+        ).wait()
+
+    for g in range(NGRP):
+        start_group(g)
 
     # run accumulation: edges are row-sorted, so consecutive edges usually
     # share the output row (mean in-degree). Accumulate the current run in
-    # registers and touch the output row only on row change — this removes
-    # the per-edge read-modify-write that otherwise dominates.
-    def body(i, carry):
+    # registers and touch the output row only on row change.
+    def body(g, carry):
         d_prev, acc = carry
-        get_dma(i).wait()
-        xrow = xbuf[jax.lax.rem(i, NBUF), 0]
+        gslot = jax.lax.rem(g, NGRP)
+        wait_group(g)
 
-        @pl.when(i + NBUF < te)
+        @pl.when(g + NGRP < ngroups)
         def _():
-            get_dma(i + NBUF).start()
+            start_group(g + NGRP)
 
-        w = wbuf[slot, 0, i]
-        if mode == "mul_rel":
-            msg = rel_ref[mbuf[slot, 1, i]] * xrow * w
-        elif mode == "add_rel":
-            msg = (rel_ref[mbuf[slot, 1, i]] + xrow) * w
-        else:  # none
-            msg = xrow * w
-        d = mbuf[slot, 2, i]
-        flush = d != d_prev
+        for j in range(GROUP):
+            i = g * GROUP + j
+            xrow = xbuf[gslot * GROUP + j, 0]
+            w = wbuf[slot, 0, i]
+            if mode == "mul_rel":
+                msg = rel_ref[mbuf[slot, 1, i]] * xrow * w
+            elif mode == "add_rel":
+                msg = (rel_ref[mbuf[slot, 1, i]] + xrow) * w
+            else:  # none
+                msg = xrow * w
+            d = mbuf[slot, 2, i]
+            flush = d != d_prev
 
-        @pl.when(flush)
-        def _():
-            out_ref[pl.ds(d_prev, 1), :] = out_ref[pl.ds(d_prev, 1), :] + acc[None, :]
+            @pl.when(flush)
+            def _(d_prev=d_prev, acc=acc):
+                out_ref[pl.ds(d_prev, 1), :] = (
+                    out_ref[pl.ds(d_prev, 1), :] + acc[None, :]
+                )
 
-        acc = jnp.where(flush, msg, acc + msg)
-        return d, acc
+            acc = jnp.where(flush, msg, acc + msg)
+            d_prev = d
+        return d_prev, acc
 
     # row_local of padding chunks is 0, so a dummy previous row of 0 with a
     # zero accumulator is always safe
     d_last, acc_last = jax.lax.fori_loop(
-        0, te, body, (0, jnp.zeros((fw,), jnp.float32))
+        0, ngroups, body, (0, jnp.zeros((fw,), jnp.float32))
     )
     out_ref[pl.ds(d_last, 1), :] = out_ref[pl.ds(d_last, 1), :] + acc_last[None, :]
 
@@ -186,57 +209,73 @@ def _kernel_bwd_fused(
         md2.start()
         wd2.start()
 
-    def g_dma(i):
-        dslot = jax.lax.rem(i, NBUF)
-        return pltpu.make_async_copy(
-            g_hbm.at[mbuf[slot, 0, i]], gbuf.at[dslot], sems.at[dslot]
-        )
-
-    for i in range(NBUF):
-        g_dma(i).start()
-
     te = mbuf.shape[-1]
     fw = dx_ref.shape[-1]
+    ngroups = te // GROUP
+
+    def start_group(g):
+        gslot = jax.lax.rem(g, NGRP)
+        for j in range(GROUP):
+            pltpu.make_async_copy(
+                g_hbm.at[mbuf[slot, 0, g * GROUP + j]],
+                gbuf.at[gslot * GROUP + j],
+                sems.at[gslot],
+            ).start()
+
+    def wait_group(g):
+        gslot = jax.lax.rem(g, NGRP)
+        pltpu.make_async_copy(
+            gbuf.at[pl.ds(gslot * GROUP, GROUP)],
+            gbuf.at[pl.ds(gslot * GROUP, GROUP)],
+            sems.at[gslot],
+        ).wait()
+
+    for g in range(NGRP):
+        start_group(g)
 
     # run accumulation on dx (edges are src-sorted): registers hold the
     # current source row's gradient and its x row; flushed on row change.
-    def body(i, carry):
+    def body(g, carry):
         d_prev, dx_acc, x_row = carry
-        g_dma(i).wait()
-        grow = gbuf[jax.lax.rem(i, NBUF), 0]
+        gslot = jax.lax.rem(g, NGRP)
+        wait_group(g)
 
-        @pl.when(i + NBUF < te)
+        @pl.when(g + NGRP < ngroups)
         def _():
-            g_dma(i + NBUF).start()
+            start_group(g + NGRP)
 
-        w = wbuf[slot, 0, i]
-        r = mbuf[slot, 1, i]
-        d = mbuf[slot, 2, i]
-        flush = d != d_prev
+        for j in range(GROUP):
+            i = g * GROUP + j
+            grow = gbuf[gslot * GROUP + j, 0]
+            w = wbuf[slot, 0, i]
+            r = mbuf[slot, 1, i]
+            d = mbuf[slot, 2, i]
+            flush = d != d_prev
 
-        @pl.when(flush)
-        def _():
-            dx_ref[pl.ds(d_prev, 1), :] = (
-                dx_ref[pl.ds(d_prev, 1), :] + dx_acc[None, :]
-            )
+            @pl.when(flush)
+            def _(d_prev=d_prev, dx_acc=dx_acc):
+                dx_ref[pl.ds(d_prev, 1), :] = (
+                    dx_ref[pl.ds(d_prev, 1), :] + dx_acc[None, :]
+                )
 
-        x_row = jnp.where(flush, x_ref[d], x_row)
-        gw = grow * w
-        if mode == "mul":
-            dx_msg = rel_ref[r] * gw
-            dr_msg = x_row * gw
-        else:  # transe
-            dx_msg = gw
-            dr_msg = gw
-        dx_acc = jnp.where(flush, dx_msg, dx_acc + dx_msg)
-        dr_ref[pl.ds(r, 1), :] = dr_ref[pl.ds(r, 1), :] + dr_msg[None, :]
-        return d, dx_acc, x_row
+            x_row = jnp.where(flush, x_ref[d], x_row)
+            gw = grow * w
+            if mode == "mul":
+                dx_msg = rel_ref[r] * gw
+                dr_msg = x_row * gw
+            else:  # transe
+                dx_msg = gw
+                dr_msg = gw
+            dx_acc = jnp.where(flush, dx_msg, dx_acc + dx_msg)
+            dr_ref[pl.ds(r, 1), :] = dr_ref[pl.ds(r, 1), :] + dr_msg[None, :]
+            d_prev = d
+        return d_prev, dx_acc, x_row
 
     # d_prev starts at -1 so the first edge always "flushes" (loading its x
     # row); the flush write dynamic-slices at -1, which clamps to row 0 and
     # adds a zero accumulator — harmless.
     d_last, dx_last, _ = jax.lax.fori_loop(
-        0, te, body,
+        0, ngroups, body,
         (-1, jnp.zeros((fw,), jnp.float32), jnp.zeros((fw,), jnp.float32)),
     )
     dx_ref[pl.ds(d_last, 1), :] = dx_ref[pl.ds(d_last, 1), :] + dx_last[None, :]
@@ -383,8 +422,8 @@ def rspmm_gather1(
             pltpu.SMEM((2, 1, te), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((NBUF, 1, fw), jnp.float32),
-            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.VMEM((NGRP * GROUP, 1, fw), jnp.float32),
+            pltpu.SemaphoreType.DMA((NGRP,)),
         ]
         if relation is not None:
             in_specs.append(
@@ -482,8 +521,8 @@ def rspmm_bwd_fused(
                 pltpu.SMEM((2, 1, te), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.VMEM((NBUF, 1, fw), jnp.float32),
-                pltpu.SemaphoreType.DMA((NBUF,)),
+                pltpu.VMEM((NGRP * GROUP, 1, fw), jnp.float32),
+                pltpu.SemaphoreType.DMA((NGRP,)),
             ],
         )
         dx_p, dr_p = pl.pallas_call(
