@@ -136,3 +136,30 @@ def test_ultra_train_step_with_edge_sharding(rng):
         gs = jax.jit(jax.grad(loss_sharded))(params)
     for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gs)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_engine_data_parallel_matches_single(tmp_path, rng):
+    """Engine with an 8-way data mesh produces the same losses as without."""
+    from ultra_torchdrug_tpu.data.datasets import synthetic_transductive
+    from ultra_torchdrug_tpu.engine.engine import Engine
+    from ultra_torchdrug_tpu.tasks.task import TaskConfig, TransductiveKGTask
+
+    ds = synthetic_transductive(num_nodes=30, num_edges=240, num_relations=4)
+    cfg = UltraConfig(
+        entity=entity_nbfnet_config(input_dim=8, hidden_dims=(8, 8),
+                                    num_relations=ds.num_relations * 2),
+        relation=rel_nbfnet_config(input_dim=8, hidden=8, num_layers=2),
+    )
+
+    def run(mesh):
+        task = TransductiveKGTask(ds, cfg, TaskConfig(num_negative=8))
+        eng = Engine(task, batch_size=16, lr=1e-3, seed=7,
+                     work_dir=str(tmp_path), log_interval=10**9, mesh=mesh)
+        eng.train(num_epoch=1, batch_per_epoch=3)
+        batch = task.train_triples[:16]
+        loss, _ = task.loss_step(eng.params, jax.random.PRNGKey(0), batch)
+        return float(loss)
+
+    l_single = run(None)
+    l_dp = run(make_mesh(data=8, edge=1))
+    assert abs(l_single - l_dp) < 1e-4

@@ -124,6 +124,12 @@ def build_task(cfg_task: dict, dataset, rspmm_impl: str = "auto", seed: int = 0)
 def build_engine(cfg: dict, task, work_dir: str = ".", seed: int = 1024) -> Engine:
     opt = cfg.get("optimizer", {})
     eng_cfg = cfg.get("engine", {})
+    mesh = None
+    dp = int(eng_cfg.get("data_parallel", 0))
+    if dp > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=dp, edge=1)
     return Engine(
         task,
         batch_size=int(eng_cfg.get("batch_size", 64)),
@@ -133,4 +139,5 @@ def build_engine(cfg: dict, task, work_dir: str = ".", seed: int = 1024) -> Engi
         log_interval=int(eng_cfg.get("log_interval", 100)),
         seed=seed,
         work_dir=work_dir,
+        mesh=mesh,
     )

@@ -61,9 +61,11 @@ class Engine:
         seed: int = 1024,
         work_dir: str = ".",
         logger=None,
+        mesh=None,
     ):
         self.task = task
         self.batch_size = batch_size
+        self.mesh = mesh  # optional jax Mesh with a "data" axis (DP)
         self.work_dir = work_dir
         self.logger = logger or get_root_logger(os.path.join(work_dir, "log.txt"))
         self.meter = Meter(self.logger, log_interval)
@@ -107,7 +109,17 @@ class Engine:
             # ensure the per-graph loss fn exists before jitting the step
             dummy = np.zeros((self.batch_size, 3), np.int32)
             self.task.loss_step(self.params, jax.random.PRNGKey(0), dummy, graph_id)
-        fn = jax.jit(step, donate_argnums=(0, 1))
+        kwargs = {}
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            batch_sh = NamedSharding(self.mesh, P("data"))
+            kwargs = dict(
+                in_shardings=(rep, rep, rep, batch_sh, rep),
+                out_shardings=(rep, rep, rep),
+            )
+        fn = jax.jit(step, donate_argnums=(0, 1), **kwargs)
         self._step_fns[graph_id] = fn
         return fn
 
