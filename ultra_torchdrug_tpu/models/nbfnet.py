@@ -75,6 +75,20 @@ class NBFNetConfig:
         ]
 
 
+def _scannable(layer_params, layer_cfgs, cfg: NBFNetConfig) -> bool:
+    """All layers identical in config and parameter shapes, no concat_hidden:
+    the stack can run as one lax.scan over stacked parameters, so XLA compiles
+    ONE layer body (and one set of Pallas kernels) instead of num_layers."""
+    if cfg.concat_hidden or len(layer_cfgs) < 2:
+        return False
+    if any(lc != layer_cfgs[0] for lc in layer_cfgs[1:]):
+        return False
+    shapes = [
+        [leaf.shape for leaf in jax.tree_util.tree_leaves(p)] for p in layer_params
+    ]
+    return all(s == shapes[0] for s in shapes[1:])
+
+
 def _propagate(
     layer_params,
     layer_cfgs,
@@ -87,6 +101,23 @@ def _propagate(
 ):
     """Run the conv stack from the boundary condition; returns the final
     hidden state (or concat of all hiddens if concat_hidden)."""
+    if _scannable(layer_params, layer_cfgs, cfg):
+        stacked = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves), *layer_params
+        )
+        lcfg = layer_cfgs[0]
+
+        def body(x, p):
+            h = conv_apply(
+                p, lcfg, graph, x, boundary,
+                query=query, rel_injected=rel_injected, edge_grad=edge_grad,
+            )
+            if cfg.short_cut and h.shape == x.shape:
+                h = h + x
+            return h, None
+
+        out, _ = jax.lax.scan(body, boundary, stacked)
+        return out
     hiddens = []
     x = boundary
     for p, lcfg in zip(layer_params, layer_cfgs):
@@ -260,17 +291,24 @@ def entity_nbfnet_score_all(
     V = graph.num_nodes
     boundary = jnp.zeros((V, B, cfg.input_dim), jnp.float32)
     boundary = boundary.at[source, jnp.arange(B)].add(query)
-    # per-layer injection: run the conv stack explicitly
-    hiddens = []
-    x = boundary
-    for p, lcfg, rel_i in zip(params["layers"], cfg.layer_configs(), per_layer):
-        h = conv_apply(p, lcfg, graph, x, boundary,
-                       rel_injected=rel_i, edge_grad=edge_grad)
-        if cfg.short_cut and h.shape == x.shape:
-            h = h + x
-        hiddens.append(h)
-        x = h
-    final = jnp.concatenate(hiddens, -1) if cfg.concat_hidden else hiddens[-1]
+    if all(r is per_layer[0] for r in per_layer[1:]):
+        # single injected tensor: scannable stack (one compiled layer body)
+        final = _propagate(
+            params["layers"], cfg.layer_configs(), graph, boundary, cfg,
+            rel_injected=per_layer[0], edge_grad=edge_grad,
+        )
+    else:
+        # distinct per-layer injections (multi-rel-model wiring): explicit loop
+        hiddens = []
+        x = boundary
+        for p, lcfg, rel_i in zip(params["layers"], cfg.layer_configs(), per_layer):
+            h = conv_apply(p, lcfg, graph, x, boundary,
+                           rel_injected=rel_i, edge_grad=edge_grad)
+            if cfg.short_cut and h.shape == x.shape:
+                h = h + x
+            hiddens.append(h)
+            x = h
+        final = jnp.concatenate(hiddens, -1) if cfg.concat_hidden else hiddens[-1]
     node_query = jnp.broadcast_to(query[None, :, :], (V, B, cfg.input_dim))
     feature = jnp.concatenate([final, node_query], axis=-1)  # [V, B, F]
     score = mlp_apply(params["mlp"], feature)[..., 0]  # [V, B]
