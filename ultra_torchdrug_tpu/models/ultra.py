@@ -20,7 +20,6 @@ edge before expanding to undirected); head-corruption is expressed per-row as
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,9 +8,10 @@ transposed local SpMM (+psum), d_relation the local segment-by-relation SDDMM
 (+psum) — so gradients are exact while every collective is an ICI all-reduce.
 
 Usage: the conv layer routes here when an edge-sharded mesh is active
-(parallel.mesh.use_mesh) and the graph's edge arrays are sharded with
-PartitionSpec("edge"). Works with both the XLA segment-op implementation and
-(on TPU) the Pallas kernel inside the shard_map body.
+(parallel.mesh.use_mesh). The shard_map body currently runs the XLA
+segment-op implementation; running the Pallas kernel per shard (with
+per-shard CSR layouts) is the planned path once multi-chip hardware is
+available to validate it.
 """
 
 from __future__ import annotations

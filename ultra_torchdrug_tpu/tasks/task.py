@@ -17,8 +17,7 @@ the classes hold host-side state (numpy triples, prebuilt Graph pytrees).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
