@@ -118,3 +118,29 @@ def test_run_full_cli_smoke(tmp_path):
     files = os.listdir(engine.work_dir)
     assert any(f.endswith(".ckpt") for f in files)
     assert "log.txt" in files
+
+
+def test_run_many_cli_smoke(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import run_many
+
+    cfg = os.path.join(REPO, "config/synthetic/smoke.yaml")
+    # run_many re-renders the config per dataset spec; outdir var needed
+    import sys as _sys
+
+    argv = ["run_many", "-c", cfg, "-d", "SynthKG", "--finetune"]
+    monkeypatch.setattr(_sys, "argv", argv)
+    # smoke.yaml template var {{ outdir }}: provide through the context table
+    orig_load = run_many.load_config
+
+    def load_with_outdir(path, context=None):
+        context = dict(context or {})
+        context["outdir"] = str(tmp_path)
+        return orig_load(path, context=context)
+
+    monkeypatch.setattr(run_many, "load_config", load_with_outdir)
+    run_many.main()
+    csvs = [f for f in os.listdir(tmp_path) if f.startswith("ultra_results_")]
+    assert csvs, "results CSV missing"
+    text = (tmp_path / csvs[0]).read_text()
+    assert "mrr" in text and "SynthKG" in text
