@@ -22,7 +22,8 @@ def make_graph(rng, V=37, E=300, R=6, B=2, D=5):
     rel_b = rng.normal(size=(R, B, D)).astype(np.float32)
     x = rng.normal(size=(V, B, D)).astype(np.float32)
     layouts = build_rspmm_layouts(edge_index, types, V, R,
-                                  tile_rows=16, tile_edges=32)
+                                  tile_rows=16, tile_edges=32,
+                                  include_rel_layout=True)
     return edge_index, types, edge_weight, rel, rel_b, x, layouts
 
 

@@ -147,9 +147,15 @@ class Graph:
             num_relations=self.num_relations,
         )
 
-    def prepare_pallas(self, tile_rows: int = 256, tile_edges: int = 256) -> "Graph":
+    def prepare_pallas(
+        self,
+        tile_rows: int = 256,
+        tile_edges: int = 256,
+        include_rel_layout: bool = False,
+    ) -> "Graph":
         """Attach CSR layouts for the Pallas rspmm kernels (host-side; call
-        once per graph after all topology transforms)."""
+        once per graph after all topology transforms). include_rel_layout is
+        only needed for the transe message function."""
         from ..ops.csr import build_rspmm_layouts
 
         layouts = build_rspmm_layouts(
@@ -159,6 +165,7 @@ class Graph:
             max(self.num_relations, 1),
             tile_rows=tile_rows,
             tile_edges=tile_edges,
+            include_rel_layout=include_rel_layout,
         )
         return dataclasses.replace(self, layouts=layouts)
 

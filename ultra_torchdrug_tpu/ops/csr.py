@@ -156,11 +156,15 @@ def _finalize_layout(
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class RspmmLayouts:
-    """The three orderings one rspmm op needs (forward + both gradients)."""
+    """The orderings one rspmm op needs. `rel` (relation-sorted, for the
+    standalone d_relation SDDMM) is only required for the transe message
+    function — distmult's d_relation rides the fused src-sorted backward —
+    so it is None unless requested (device transfer of layouts is a real
+    cost on remote-TPU setups)."""
 
     fwd: CsrLayout  # rows = dst, gather1 = src
-    rev: CsrLayout  # rows = src, gather1 = dst (d_input)
-    rel: CsrLayout  # rows = etype, gather1 = src, gather2 = dst (d_relation)
+    rev: CsrLayout  # rows = src, gather1 = dst (d_input + fused d_relation)
+    rel: object = None  # rows = etype, gather1 = src, gather2 = dst
 
 
 def build_rspmm_layouts(
@@ -170,19 +174,23 @@ def build_rspmm_layouts(
     num_relations: int,
     tile_rows: int = 256,
     tile_edges: int = 256,
+    include_rel_layout: bool = False,
 ) -> RspmmLayouts:
     edge_index = np.asarray(edge_index)
     edge_type = np.asarray(edge_type)
     src, dst = edge_index[:, 0], edge_index[:, 1]
+    rel_layout = None
+    if include_rel_layout:
+        rel_layout = build_layout(
+            edge_type, src, np.zeros_like(edge_type), num_relations,
+            gather2_ids=dst,
+            tile_rows=min(tile_rows, max(8, -(-num_relations // 8) * 8)),
+            tile_edges=tile_edges,
+        )
     return RspmmLayouts(
         fwd=build_layout(dst, src, edge_type, num_nodes,
                          tile_rows=tile_rows, tile_edges=tile_edges),
         rev=build_layout(src, dst, edge_type, num_nodes,
                          tile_rows=tile_rows, tile_edges=tile_edges),
-        rel=build_layout(
-            edge_type, src, np.zeros_like(edge_type), num_relations,
-            gather2_ids=dst,
-            tile_rows=min(tile_rows, max(8, -(-num_relations // 8) * 8)),
-            tile_edges=tile_edges,
-        ),
+        rel=rel_layout,
     )

@@ -663,6 +663,11 @@ def rspmm_bwd_pallas(layouts, edge_weight, relation, x, g, *, msg):
         )
         dx = dx_flat[: x.shape[0]].reshape(x.shape)
     else:  # transe
+        if layouts.rel is None:
+            raise ValueError(
+                "transe backward needs the relation-sorted layout: build with "
+                "include_rel_layout=True (Graph.prepare_pallas)"
+            )
         dx = rspmm_gather1(
             g_flat, None,
             _weight_chunks(edge_weight, layouts.rev),

@@ -117,8 +117,10 @@ class _TaskBase:
         layouts the Pallas kernels consume) once per fact graph."""
         und = fact_graph.undirected_with_inverse()
         if self._uses_pallas():
-            und = und.prepare_pallas()
-            rel_graph = rel_graph.prepare_pallas()
+            transe = (self.model_cfg.entity.message_func == "transe"
+                      or self.model_cfg.relation.message_func == "transe")
+            und = und.prepare_pallas(include_rel_layout=transe)
+            rel_graph = rel_graph.prepare_pallas(include_rel_layout=transe)
         return und, rel_graph
 
     # -- builders ----------------------------------------------------------
