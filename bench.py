@@ -91,6 +91,16 @@ def bench_impl(impl, triplets, rel, x, V, R, chain=4, repeats=3, batch_chunk=Non
 
 def main():
     import jax
+    import os as _os
+
+    try:  # persistent XLA/Mosaic compile cache (compiles are minutes here)
+        import jax as _jax
+
+        _cache = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), 
+                               ".jax_cache")
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+    except Exception:
+        pass
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"

@@ -62,6 +62,16 @@ def test(cfg, engine):
 
 
 def main(argv=None):
+    import os as _os
+
+    try:  # persistent XLA/Mosaic compile cache (compiles are minutes here)
+        import jax as _jax
+
+        _cache = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), 
+                               "../.jax_cache")
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+    except Exception:
+        pass
     args, context = parse_args(argv)
     cfg = load_config(args.config, context=context)[0]
     work_dir = create_working_directory(
