@@ -66,13 +66,36 @@ class Graph:
             edge_weight = jnp.ones((triplets.shape[0],), dtype=jnp.float32)
         else:
             edge_weight = jnp.asarray(edge_weight, dtype=jnp.float32)
-        return Graph(
+        g = Graph(
             edge_index=triplets[:, :2],
             edge_type=triplets[:, 2],
             edge_weight=edge_weight,
             num_nodes=int(num_nodes),
             num_relations=int(num_relations),
         )
+        g._set_host_cache(np.asarray(triplets[:, :2]), np.asarray(triplets[:, 2]))
+        return g
+
+    # ---- host-side copies (preprocessing without device round-trips) ------
+    # Device->host fetches can be catastrophically slow on remote-TPU setups;
+    # graphs built from host data keep numpy copies OUTSIDE the pytree (set
+    # via object.__setattr__, so jit/tree_map never see them) and all host
+    # preprocessing reads these.
+
+    def _set_host_cache(self, edge_index: np.ndarray, edge_type: np.ndarray):
+        object.__setattr__(self, "_host_edges", (edge_index, edge_type))
+
+    def host_edge_index(self) -> np.ndarray:
+        cache = getattr(self, "_host_edges", None)
+        if cache is not None:
+            return cache[0]
+        return np.asarray(self.edge_index)
+
+    def host_edge_type(self) -> np.ndarray:
+        cache = getattr(self, "_host_edges", None)
+        if cache is not None:
+            return cache[1]
+        return np.asarray(self.edge_type)
 
     # ---- basic properties -------------------------------------------------
 
@@ -119,13 +142,21 @@ class Graph:
         (/root/reference/ultra/model.py:166, rel_model.py:92)."""
         inv_index = self.edge_index[:, ::-1]
         inv_type = self.edge_type + self.num_relations
-        return Graph(
+        g = Graph(
             edge_index=jnp.concatenate([self.edge_index, inv_index], axis=0),
             edge_type=jnp.concatenate([self.edge_type, inv_type], axis=0),
             edge_weight=jnp.concatenate([self.edge_weight, self.edge_weight], axis=0),
             num_nodes=self.num_nodes,
             num_relations=self.num_relations * 2,
         )
+        cache = getattr(self, "_host_edges", None)
+        if cache is not None:
+            ei, et = cache
+            g._set_host_cache(
+                np.concatenate([ei, ei[:, ::-1]], axis=0),
+                np.concatenate([et, et + self.num_relations], axis=0),
+            )
+        return g
 
     def with_edge_weight(self, edge_weight: jnp.ndarray) -> "Graph":
         return dataclasses.replace(self, edge_weight=edge_weight)
@@ -139,13 +170,17 @@ class Graph:
         """Host-side (non-jit) true edge removal; changes E. For preprocessing
         only — e.g. carving fact graphs out of the full graph."""
         keep = np.asarray(keep_mask)
-        return Graph(
-            edge_index=jnp.asarray(np.asarray(self.edge_index)[keep]),
-            edge_type=jnp.asarray(np.asarray(self.edge_type)[keep]),
+        ei = self.host_edge_index()[keep]
+        et = self.host_edge_type()[keep]
+        g = Graph(
+            edge_index=jnp.asarray(ei),
+            edge_type=jnp.asarray(et),
             edge_weight=jnp.asarray(np.asarray(self.edge_weight)[keep]),
             num_nodes=self.num_nodes,
             num_relations=self.num_relations,
         )
+        g._set_host_cache(ei, et)
+        return g
 
     def prepare_pallas(
         self,
@@ -159,8 +194,8 @@ class Graph:
         from ..ops.csr import build_rspmm_layouts
 
         layouts = build_rspmm_layouts(
-            np.asarray(self.edge_index),
-            np.asarray(self.edge_type),
+            self.host_edge_index(),
+            self.host_edge_type(),
             self.num_nodes,
             max(self.num_relations, 1),
             tile_rows=tile_rows,
@@ -172,14 +207,17 @@ class Graph:
     def sorted_by_tail(self) -> "Graph":
         """Reorder edges so targets are ascending — the CSR layout the Pallas
         rspmm kernel consumes. Host-side preprocessing (stable order)."""
-        order = np.argsort(np.asarray(self.tails), kind="stable")
-        return Graph(
-            edge_index=jnp.asarray(np.asarray(self.edge_index)[order]),
-            edge_type=jnp.asarray(np.asarray(self.edge_type)[order]),
+        ei, et = self.host_edge_index(), self.host_edge_type()
+        order = np.argsort(ei[:, 1], kind="stable")
+        g = Graph(
+            edge_index=jnp.asarray(ei[order]),
+            edge_type=jnp.asarray(et[order]),
             edge_weight=jnp.asarray(np.asarray(self.edge_weight)[order]),
             num_nodes=self.num_nodes,
             num_relations=self.num_relations,
         )
+        g._set_host_cache(ei[order], et[order])
+        return g
 
     def __repr__(self):  # pragma: no cover
         return (

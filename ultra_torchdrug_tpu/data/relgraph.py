@@ -29,9 +29,9 @@ ETYPE_HH, ETYPE_TT, ETYPE_HT, ETYPE_TH = 0, 1, 2, 3
 def build_relation_graph(graph: Graph) -> Graph:
     """Entity Graph (R relations) -> relation Graph with 2R nodes, 4 etypes."""
     g = graph.undirected_with_inverse()
-    heads = np.asarray(g.heads)
-    tails = np.asarray(g.tails)
-    rels = np.asarray(g.edge_type)
+    ei = g.host_edge_index()
+    heads, tails = ei[:, 0], ei[:, 1]
+    rels = g.host_edge_type()
     V, R2 = g.num_nodes, g.num_relations
 
     from ..native import relation_graph_patterns_native
