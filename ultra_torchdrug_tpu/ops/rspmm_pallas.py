@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .csr import CsrLayout
 
+_VMEM_DATA_BUDGET = 40 * 1024 * 1024  # gathered operand VMEM residency cap
 NBUF = 16  # per-edge DMA lookahead depth (two-gather template)
 GROUP = 8  # row DMAs per shared semaphore (grouped-wait templates)
 NGRP = 4   # groups in flight
@@ -164,6 +165,141 @@ def _kernel_one_gather(
         0, ngroups, body, (0, jnp.zeros((fw,), jnp.float32))
     )
     out_ref[pl.ds(d_last, 1), :] = out_ref[pl.ds(d_last, 1), :] + acc_last[None, :]
+
+
+# ---------------------------------------------------------------------------
+# VMEM-resident variants: when the gathered operand's rows fit in VMEM
+# (relation graphs: 2R nodes, a few MB), per-edge HBM DMAs disappear
+# entirely — gathers become dynamic VMEM row reads.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_one_gather_vmem(
+    cr_ref, meta_hbm, w_hbm, data_ref, *rest, mode: str, num_chunks: int
+):
+    if mode == "none":
+        out_ref, mbuf, wbuf, msems, wsems = rest
+        rel_ref = None
+    else:
+        rel_ref, out_ref, mbuf, wbuf, msems, wsems = rest
+    c = pl.program_id(0)
+    slot = jax.lax.rem(c, 2)
+    nxt = jax.lax.rem(c + 1, 2)
+
+    @pl.when(cr_ref[0, c] != cr_ref[1, c])
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(c == 0)
+    def _():
+        md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, 0, 0)
+        md.start()
+        wd.start()
+
+    md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c, slot)
+    md.wait()
+    wd.wait()
+
+    @pl.when(c + 1 < num_chunks)
+    def _():
+        md2, wd2 = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c + 1, nxt)
+        md2.start()
+        wd2.start()
+
+    te = mbuf.shape[-1]
+    fw = out_ref.shape[-1]
+
+    def body(i, carry):
+        d_prev, acc = carry
+        xrow = data_ref[mbuf[slot, 0, i]]
+        w = wbuf[slot, 0, i]
+        if mode == "mul_rel":
+            msg = rel_ref[mbuf[slot, 1, i]] * xrow * w
+        elif mode == "add_rel":
+            msg = (rel_ref[mbuf[slot, 1, i]] + xrow) * w
+        else:
+            msg = xrow * w
+        d = mbuf[slot, 2, i]
+        flush = d != d_prev
+
+        @pl.when(flush)
+        def _():
+            out_ref[pl.ds(d_prev, 1), :] = (
+                out_ref[pl.ds(d_prev, 1), :] + acc[None, :]
+            )
+
+        acc = jnp.where(flush, msg, acc + msg)
+        return d, acc
+
+    d_last, acc_last = jax.lax.fori_loop(
+        0, te, body, (0, jnp.zeros((fw,), jnp.float32))
+    )
+    out_ref[pl.ds(d_last, 1), :] = out_ref[pl.ds(d_last, 1), :] + acc_last[None, :]
+
+
+def _kernel_bwd_fused_vmem(
+    cr_ref, meta_hbm, w_hbm, g_ref, rel_ref, x_ref, dx_ref, dr_ref,
+    mbuf, wbuf, msems, wsems, *, mode: str, num_chunks: int
+):
+    c = pl.program_id(0)
+    slot = jax.lax.rem(c, 2)
+    nxt = jax.lax.rem(c + 1, 2)
+
+    @pl.when(cr_ref[0, c] != cr_ref[1, c])
+    def _():
+        dx_ref[...] = jnp.zeros_like(dx_ref)
+
+    @pl.when(c == 0)
+    def _():
+        dr_ref[...] = jnp.zeros_like(dr_ref)
+        md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, 0, 0)
+        md.start()
+        wd.start()
+
+    md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c, slot)
+    md.wait()
+    wd.wait()
+
+    @pl.when(c + 1 < num_chunks)
+    def _():
+        md2, wd2 = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c + 1, nxt)
+        md2.start()
+        wd2.start()
+
+    te = mbuf.shape[-1]
+    fw = dx_ref.shape[-1]
+
+    def body(i, carry):
+        d_prev, dx_acc, x_row = carry
+        grow = g_ref[mbuf[slot, 0, i]]
+        w = wbuf[slot, 0, i]
+        r = mbuf[slot, 1, i]
+        d = mbuf[slot, 2, i]
+        flush = d != d_prev
+
+        @pl.when(flush)
+        def _():
+            dx_ref[pl.ds(d_prev, 1), :] = (
+                dx_ref[pl.ds(d_prev, 1), :] + dx_acc[None, :]
+            )
+
+        x_row = jnp.where(flush, x_ref[d], x_row)
+        gw = grow * w
+        if mode == "mul":
+            dx_msg = rel_ref[r] * gw
+            dr_msg = x_row * gw
+        else:
+            dx_msg = gw
+            dr_msg = gw
+        dx_acc = jnp.where(flush, dx_msg, dx_acc + dx_msg)
+        dr_ref[pl.ds(r, 1), :] = dr_ref[pl.ds(r, 1), :] + dr_msg[None, :]
+        return d, dx_acc, x_row
+
+    d_last, dx_last, _ = jax.lax.fori_loop(
+        0, te, body,
+        (-1, jnp.zeros((fw,), jnp.float32), jnp.zeros((fw,), jnp.float32)),
+    )
+    dx_ref[pl.ds(d_last, 1), :] = dx_ref[pl.ds(d_last, 1), :] + dx_last[None, :]
 
 
 # ---------------------------------------------------------------------------
@@ -403,17 +539,34 @@ def rspmm_gather1(
 
     meta = _pack_meta(layout, index_chunks, layout.aux)
     w3 = w_chunks[:, None, :]  # [C, 1, TE]
-    kernel = functools.partial(
-        _kernel_one_gather, mode=mode, num_chunks=layout.num_chunks
-    )
+    # small gathered operand (relation graphs): keep it VMEM-resident and
+    # skip per-edge DMAs entirely
+    v_pad = -(-V // 8) * 8
+    data_vmem = (v_pad + rel_rows + 2 * tv + 16) * tf * 4 <= _VMEM_DATA_BUDGET
+    if data_vmem:
+        kernel = functools.partial(
+            _kernel_one_gather_vmem, mode=mode, num_chunks=layout.num_chunks
+        )
+        if v_pad != V:
+            data = jnp.pad(data, ((0, v_pad - V), (0, 0)))
+    else:
+        kernel = functools.partial(
+            _kernel_one_gather, mode=mode, num_chunks=layout.num_chunks
+        )
     pieces = []
     for f0 in range(0, F_pad, tf):
         fw = min(tf, F_pad - f0)
-        data_f = data[:, f0 : f0 + fw].reshape(V, 1, fw)
+        if data_vmem:
+            data_f = data[:, f0 : f0 + fw]
+            data_spec = pl.BlockSpec((v_pad, fw), lambda c, cr: (0, 0),
+                                     memory_space=pltpu.VMEM)
+        else:
+            data_f = data[:, f0 : f0 + fw].reshape(V, 1, fw)
+            data_spec = pl.BlockSpec(memory_space=pl.ANY)
         in_specs = [
             pl.BlockSpec(memory_space=pl.ANY),  # meta in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # weights in HBM
-            pl.BlockSpec(memory_space=pl.ANY),  # data in HBM
+            data_spec,
         ]
         args = [meta, w3, data_f]
         scratch = [
@@ -421,9 +574,12 @@ def rspmm_gather1(
             pltpu.SMEM((2, 1, te), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((NGRP * GROUP, 1, fw), jnp.float32),
-            pltpu.SemaphoreType.DMA((NGRP,)),
         ]
+        if not data_vmem:
+            scratch += [
+                pltpu.VMEM((NGRP * GROUP, 1, fw), jnp.float32),
+                pltpu.SemaphoreType.DMA((NGRP,)),
+            ]
         if relation is not None:
             in_specs.append(
                 pl.BlockSpec((rel_rows, fw), lambda c, cr: (0, 0),
@@ -490,20 +646,50 @@ def rspmm_bwd_fused(
 
     meta = _pack_meta(layout, layout.gather1, layout.aux)
     w3 = w_chunks[:, None, :]
-    kernel = functools.partial(
-        _kernel_bwd_fused, mode="mul", num_chunks=layout.num_chunks
-    )
-    dx_pieces, dr_pieces = [], []
     Vg = g_flat.shape[0]
+    vg_pad = -(-Vg // 8) * 8
+    g_vmem = (vg_pad + 2 * r_pad + 4 * tv + 16) * tf * 4 <= _VMEM_DATA_BUDGET
+    if g_vmem:
+        kernel = functools.partial(
+            _kernel_bwd_fused_vmem, mode="mul", num_chunks=layout.num_chunks
+        )
+        if vg_pad != Vg:
+            g_flat = jnp.pad(g_flat, ((0, vg_pad - Vg), (0, 0)))
+    else:
+        kernel = functools.partial(
+            _kernel_bwd_fused, mode="mul", num_chunks=layout.num_chunks
+        )
+    dx_pieces, dr_pieces = [], []
     for f0 in range(0, F_pad, tf):
         fw = min(tf, F_pad - f0)
+        if g_vmem:
+            g_arg = g_flat[:, f0 : f0 + fw]
+            g_spec = pl.BlockSpec((vg_pad, fw), lambda c, cr: (0, 0),
+                                  memory_space=pltpu.VMEM)
+            scratch = [
+                pltpu.SMEM((2, 4, te), jnp.int32),
+                pltpu.SMEM((2, 1, te), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        else:
+            g_arg = g_flat[:, f0 : f0 + fw].reshape(Vg, 1, fw)
+            g_spec = pl.BlockSpec(memory_space=pl.ANY)
+            scratch = [
+                pltpu.SMEM((2, 4, te), jnp.int32),
+                pltpu.SMEM((2, 1, te), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((NGRP * GROUP, 1, fw), jnp.float32),
+                pltpu.SemaphoreType.DMA((NGRP,)),
+            ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(layout.num_chunks,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # meta
                 pl.BlockSpec(memory_space=pl.ANY),  # weights
-                pl.BlockSpec(memory_space=pl.ANY),  # g in HBM (gathered)
+                g_spec,
                 pl.BlockSpec((r_pad, fw), lambda c, cr: (0, 0),
                              memory_space=pltpu.VMEM),  # relation
                 pl.BlockSpec((tv, fw), lambda c, cr: (cr[0, c], 0),
@@ -515,14 +701,7 @@ def rspmm_bwd_fused(
                 pl.BlockSpec((r_pad, fw), lambda c, cr: (0, 0),
                              memory_space=pltpu.VMEM),  # dr accumulator
             ),
-            scratch_shapes=[
-                pltpu.SMEM((2, 4, te), jnp.int32),
-                pltpu.SMEM((2, 1, te), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.VMEM((NGRP * GROUP, 1, fw), jnp.float32),
-                pltpu.SemaphoreType.DMA((NGRP,)),
-            ],
+            scratch_shapes=scratch,
         )
         dx_p, dr_p = pl.pallas_call(
             kernel,
@@ -539,7 +718,7 @@ def rspmm_bwd_fused(
             layout.cr_pairs,
             meta,
             w3,
-            g_flat[:, f0 : f0 + fw].reshape(Vg, 1, fw),
+            g_arg,
             relation_flat[:, f0 : f0 + fw],
             x_flat[:, f0 : f0 + fw],
         )
