@@ -52,6 +52,7 @@ def build_model_config(cfg_task: dict, num_relations: int, rspmm_impl: str = "au
         num_mlp_layer=int(m.get("num_mlp_layer", 2)),
         project=bool(m.get("project", True)),
         rspmm_impl=impl,
+        remat=bool(m.get("remat", cfg_task.get("remat", False))),
     )
     rel_models_cfg = cfg_task.get("rel_models", {})
     rm = rel_models_cfg.get("rel_model", {})

@@ -53,6 +53,7 @@ class NBFNetConfig:
     rspmm_impl: str = "xla"
     edge_axis: str = ""
     learn_query: bool = False  # rel tower: learned query vector vs all-ones
+    remat: bool = False  # jax.checkpoint each layer (recompute in backward)
 
     def layer_configs(self):
         dims = [self.input_dim] + list(self.hidden_dims)
@@ -116,17 +117,26 @@ def _propagate(
                 h = h + x
             return h, None
 
+        if cfg.remat:
+            body = jax.checkpoint(body)
         out, _ = jax.lax.scan(body, boundary, stacked)
         return out
     hiddens = []
     x = boundary
-    for p, lcfg in zip(layer_params, layer_cfgs):
+
+    def one_layer(p, lcfg, x):
         h = conv_apply(
             p, lcfg, graph, x, boundary,
             query=query, rel_injected=rel_injected, edge_grad=edge_grad,
         )
         if cfg.short_cut and h.shape == x.shape:
             h = h + x
+        return h
+
+    if cfg.remat and not edge_grad:
+        one_layer = jax.checkpoint(one_layer, static_argnums=(1,))
+    for p, lcfg in zip(layer_params, layer_cfgs):
+        h = one_layer(p, lcfg, x)
         hiddens.append(h)
         x = h
     if cfg.concat_hidden:
@@ -234,6 +244,7 @@ def entity_nbfnet_config(
         project=kw.get("project", True),
         rspmm_impl=rspmm_impl,
         edge_axis=kw.get("edge_axis", ""),
+        remat=kw.get("remat", False),
     )
 
 
