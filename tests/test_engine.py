@@ -118,3 +118,18 @@ def test_sample_weight_path(tmp_path):
     )
     eng = Engine(task, batch_size=16, work_dir=str(tmp_path), log_interval=1000)
     eng.train(num_epoch=1, batch_per_epoch=3)  # just runs
+
+
+def test_toy_eval_protocol(tmp_path):
+    ds = synthetic_inductive(num_relations=5, seed=3)
+    cfg = dataclasses.replace(
+        tiny_task_cfg(),
+        metrics=("mrr", "hits@10_50"),
+        toy_eval=True,
+    )
+    task = InductiveKGTask(ds, tiny_model_cfg(ds.num_relations), cfg)
+    eng = Engine(task, batch_size=16, work_dir=str(tmp_path), log_interval=1000)
+    m = eng.evaluate("test")
+    # 50-negative protocol: ranks bounded by 51
+    assert 0 < m["mrr"] <= 1
+    assert 0 <= m["hits@10_50"] <= 1

@@ -163,6 +163,7 @@ def toy_eval_ranking(
     """50-sampled-negative protocol with optimistic/pessimistic rank averaging
     (task.py:474-484). scores_pos [B,1]; scores/allowed_mask [B,V]."""
     B, V = scores.shape
+    num_samples = min(num_samples, V)  # tiny graphs: cannot draw 50 negatives
     logits = jnp.where(allowed_mask, 0.0, -jnp.inf)
     gumbel = jax.random.gumbel(key, (B, V))
     idx = jax.lax.top_k(logits + gumbel, num_samples)[1]  # w/o replacement
