@@ -37,9 +37,6 @@ def test_transductive_train_and_eval(tmp_path):
     task = TransductiveKGTask(ds, tiny_model_cfg(ds.num_relations), tiny_task_cfg())
     eng = Engine(task, batch_size=16, lr=5e-3, work_dir=str(tmp_path), log_interval=1000)
 
-    # capture loss trajectory
-    losses = []
-    orig = task._loss_fn
     for _ in range(2):
         eng.train(num_epoch=1, batch_per_epoch=8)
     m = eng.evaluate("valid")
