@@ -163,3 +163,29 @@ def test_pallas_hbm_gather_path(rng, msg, monkeypatch):
     for a, b in zip(g_xla, g_pal):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_bfloat16_compute(rng):
+    """Opt-in bf16 message math: f32 accumulation keeps results close."""
+    ei, et, w, rel, _, x, layouts = make_graph(rng)
+    V = x.shape[0]
+    args = (jnp.asarray(ei), jnp.asarray(et), jnp.asarray(w),
+            jnp.asarray(rel), jnp.asarray(x))
+    want = generalized_rspmm(*args, msg="mul", agg="add", num_nodes=V, impl="xla")
+    got = generalized_rspmm(*args, msg="mul", agg="add", num_nodes=V,
+                            impl="pallas", layouts=layouts,
+                            compute_dtype="bfloat16")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-2, atol=3e-2)
+
+    def loss(p_rel, p_x):
+        out = generalized_rspmm(
+            args[0], args[1], args[2], p_rel, p_x, msg="mul", agg="add",
+            num_nodes=V, impl="pallas", layouts=layouts,
+            compute_dtype="bfloat16",
+        )
+        return jnp.sum(out * out)
+
+    g_rel, g_x = jax.grad(loss, argnums=(0, 1))(args[3], args[4])
+    assert np.isfinite(np.asarray(g_rel)).all()
+    assert np.isfinite(np.asarray(g_x)).all()

@@ -54,6 +54,7 @@ class ConvConfig:
     project: bool = True  # injected mode: per-layer MLP on relation vectors
     rspmm_impl: str = "xla"  # xla | pallas
     edge_axis: str = ""  # mesh axis name for edge partitioning ("" = off)
+    compute_dtype: str = "float32"  # bfloat16 = faster gathers, f32 accum
 
 
 def conv_init(key, cfg: ConvConfig) -> dict:
@@ -176,6 +177,7 @@ def conv_apply(
             impl=cfg.rspmm_impl,
             layouts=graph.layouts,
             edge_grad=edge_grad,
+            compute_dtype=cfg.compute_dtype,
         )
 
     agg = cfg.aggregate_func

@@ -54,6 +54,7 @@ class NBFNetConfig:
     edge_axis: str = ""
     learn_query: bool = False  # rel tower: learned query vector vs all-ones
     remat: bool = False  # jax.checkpoint each layer (recompute in backward)
+    compute_dtype: str = "float32"  # pallas message math dtype (bf16 opt-in)
 
     def layer_configs(self):
         dims = [self.input_dim] + list(self.hidden_dims)
@@ -71,6 +72,7 @@ class NBFNetConfig:
                 project=self.project,
                 rspmm_impl=self.rspmm_impl,
                 edge_axis=self.edge_axis,
+                compute_dtype=self.compute_dtype,
             )
             for i in range(len(dims) - 1)
         ]

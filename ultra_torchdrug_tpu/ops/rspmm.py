@@ -108,7 +108,7 @@ def _zeros_cotangent(tree):
 
 
 @lru_cache(maxsize=None)
-def _make_rspmm_add(msg: str, num_nodes: int, impl: str):
+def _make_rspmm_add(msg: str, num_nodes: int, impl: str, compute_dtype: str = "float32"):
     """custom-VJP rspmm for AGG='add' (cached for stable jit identity).
     edge_weight is constant here (edge gradients go through the plain autodiff
     path used by path visualization)."""
@@ -118,7 +118,8 @@ def _make_rspmm_add(msg: str, num_nodes: int, impl: str):
             from .rspmm_pallas import rspmm_fwd_pallas
 
             return rspmm_fwd_pallas(
-                layouts, edge_weight, relation, x, msg=msg, num_nodes=num_nodes
+                layouts, edge_weight, relation, x, msg=msg, num_nodes=num_nodes,
+                compute_dtype=jnp.dtype(compute_dtype),
             )
         return _rspmm_xla(
             edge_index, edge_type, edge_weight, relation, x,
@@ -139,7 +140,8 @@ def _make_rspmm_add(msg: str, num_nodes: int, impl: str):
             from .rspmm_pallas import rspmm_bwd_pallas
 
             dr, dx = rspmm_bwd_pallas(
-                layouts, edge_weight, relation, x, g, msg=msg
+                layouts, edge_weight, relation, x, g, msg=msg,
+                compute_dtype=jnp.dtype(compute_dtype),
             )
         else:
             dr, dx = _xla_bwd(
@@ -167,6 +169,7 @@ def generalized_rspmm(
     impl: str = "xla",
     layouts=None,
     edge_grad: bool = False,
+    compute_dtype: str = "float32",
 ):
     """Relational SpMM. See module docstring for semantics and shapes.
 
@@ -179,13 +182,16 @@ def generalized_rspmm(
       edge_grad: use the plain autodiff path so gradients flow to
         ``edge_weight`` (path interpretability; O(E) message materialization
         like the reference fallback at layer.py:112).
+      compute_dtype: "float32" (default, reference parity) or "bfloat16" —
+        pallas kernels then gather/multiply in bf16 with f32 accumulation
+        (halves gather bytes; opt-in production mode).
     """
     if msg not in _MSG_FUNCS:
         raise ValueError(f"msg must be one of {_MSG_FUNCS}, got {msg!r}")
     if agg not in _AGG_FUNCS:
         raise ValueError(f"agg must be one of {_AGG_FUNCS}, got {agg!r}")
     if agg == "add" and not edge_grad:
-        fn = _make_rspmm_add(msg, int(num_nodes), impl)
+        fn = _make_rspmm_add(msg, int(num_nodes), impl, compute_dtype)
         return fn(edge_index, edge_type, edge_weight, relation, x, layouts)
     return _rspmm_xla(
         edge_index, edge_type, edge_weight, relation, x,

@@ -141,11 +141,12 @@ def _kernel_one_gather(
             xrow = xbuf[gslot * GROUP + j, 0]
             w = wbuf[slot, 0, i]
             if mode == "mul_rel":
-                msg = rel_ref[mbuf[slot, 1, i]] * xrow * w
+                msg = rel_ref[mbuf[slot, 1, i]] * xrow
             elif mode == "add_rel":
-                msg = (rel_ref[mbuf[slot, 1, i]] + xrow) * w
+                msg = rel_ref[mbuf[slot, 1, i]] + xrow
             else:  # none
-                msg = xrow * w
+                msg = xrow
+            msg = msg.astype(jnp.float32) * w
             d = mbuf[slot, 2, i]
             flush = d != d_prev
 
@@ -214,11 +215,12 @@ def _kernel_one_gather_vmem(
         xrow = data_ref[mbuf[slot, 0, i]]
         w = wbuf[slot, 0, i]
         if mode == "mul_rel":
-            msg = rel_ref[mbuf[slot, 1, i]] * xrow * w
+            msg = rel_ref[mbuf[slot, 1, i]] * xrow
         elif mode == "add_rel":
-            msg = (rel_ref[mbuf[slot, 1, i]] + xrow) * w
+            msg = rel_ref[mbuf[slot, 1, i]] + xrow
         else:
-            msg = xrow * w
+            msg = xrow
+        msg = msg.astype(jnp.float32) * w
         d = mbuf[slot, 2, i]
         flush = d != d_prev
 
@@ -283,10 +285,10 @@ def _kernel_bwd_fused_vmem(
                 dx_ref[pl.ds(d_prev, 1), :] + dx_acc[None, :]
             )
 
-        x_row = jnp.where(flush, x_ref[d], x_row)
-        gw = grow * w
+        x_row = jnp.where(flush, x_ref[d].astype(jnp.float32), x_row)
+        gw = grow.astype(jnp.float32) * w
         if mode == "mul":
-            dx_msg = rel_ref[r] * gw
+            dx_msg = rel_ref[r].astype(jnp.float32) * gw
             dr_msg = x_row * gw
         else:
             dx_msg = gw
@@ -518,10 +520,15 @@ def rspmm_gather1(
     index_chunks: jnp.ndarray,
     mode: str,
     interpret: Optional[bool] = None,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Template-A reduction. data: [Vin, F]; relation: [R, F] or None.
-    Returns [padded_rows, F]."""
+    Returns [padded_rows, F] float32 (accumulation is always f32;
+    compute_dtype=bf16 halves gather bytes and message VPU work)."""
     interpret = _interpret_default() if interpret is None else interpret
+    data = data.astype(compute_dtype)
+    if relation is not None:
+        relation = relation.astype(compute_dtype)
     V, F = data.shape
     F_pad = _pad_lane(F)
     te = layout.tile_edges
@@ -563,6 +570,7 @@ def rspmm_gather1(
         else:
             data_f = data[:, f0 : f0 + fw].reshape(V, 1, fw)
             data_spec = pl.BlockSpec(memory_space=pl.ANY)
+        xbuf_dtype = data.dtype
         in_specs = [
             pl.BlockSpec(memory_space=pl.ANY),  # meta in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # weights in HBM
@@ -577,7 +585,7 @@ def rspmm_gather1(
         ]
         if not data_vmem:
             scratch += [
-                pltpu.VMEM((NGRP * GROUP, 1, fw), jnp.float32),
+                pltpu.VMEM((NGRP * GROUP, 1, fw), xbuf_dtype),
                 pltpu.SemaphoreType.DMA((NGRP,)),
             ]
         if relation is not None:
@@ -618,10 +626,14 @@ def rspmm_bwd_fused(
     w_chunks: jnp.ndarray,
     layout: CsrLayout,
     interpret: Optional[bool] = None,
+    compute_dtype=jnp.float32,
 ):
     """Fused distmult backward over the src-sorted layout.
-    Returns (dx [padded_rows, F], dr [R_pad, F])."""
+    Returns (dx [padded_rows, F], dr [R_pad, F]) in float32."""
     interpret = _interpret_default() if interpret is None else interpret
+    x_flat = x_flat.astype(compute_dtype)
+    g_flat = g_flat.astype(compute_dtype)
+    relation_flat = relation_flat.astype(compute_dtype)
     V, F = x_flat.shape
     F_pad = _pad_lane(F)
     te, tv = layout.tile_edges, layout.tile_rows
@@ -680,7 +692,7 @@ def rspmm_bwd_fused(
                 pltpu.SMEM((2, 1, te), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.VMEM((NGRP * GROUP, 1, fw), jnp.float32),
+                pltpu.VMEM((NGRP * GROUP, 1, fw), g_flat.dtype),
                 pltpu.SemaphoreType.DMA((NGRP,)),
             ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -817,7 +829,8 @@ def _weight_chunks(edge_weight, layout: CsrLayout):
     return edge_weight[layout.edge_id] * layout.valid
 
 
-def rspmm_fwd_pallas(layouts, edge_weight, relation, x, *, msg, num_nodes):
+def rspmm_fwd_pallas(layouts, edge_weight, relation, x, *, msg, num_nodes,
+                     compute_dtype=jnp.float32):
     B = x.shape[1]
     out = rspmm_gather1(
         _flat(x),
@@ -826,11 +839,13 @@ def rspmm_fwd_pallas(layouts, edge_weight, relation, x, *, msg, num_nodes):
         layouts.fwd,
         layouts.fwd.gather1,
         mode="mul_rel" if msg == "mul" else "add_rel",
+        compute_dtype=compute_dtype,
     )
     return out[:num_nodes].reshape(num_nodes, *x.shape[1:])
 
 
-def rspmm_bwd_pallas(layouts, edge_weight, relation, x, g, *, msg):
+def rspmm_bwd_pallas(layouts, edge_weight, relation, x, g, *, msg,
+                     compute_dtype=jnp.float32):
     """Returns (d_relation, d_input)."""
     B = x.shape[1]
     g_flat = _flat(g)
@@ -839,6 +854,7 @@ def rspmm_bwd_pallas(layouts, edge_weight, relation, x, g, *, msg):
             _flat(x), g_flat, _rel_flat(relation, B),
             _weight_chunks(edge_weight, layouts.rev),
             layouts.rev,
+            compute_dtype=compute_dtype,
         )
         dx = dx_flat[: x.shape[0]].reshape(x.shape)
     else:  # transe
