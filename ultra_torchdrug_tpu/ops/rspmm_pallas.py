@@ -97,7 +97,6 @@ def _kernel_one_gather(
         wd2.start()
 
     te = mbuf.shape[-1]
-    fw = out_ref.shape[-1]
     ngroups = te // GROUP
 
     # grouped row DMAs: GROUP copies share one semaphore, waited once per
@@ -138,7 +137,7 @@ def _kernel_one_gather(
 
         for j in range(GROUP):
             i = g * GROUP + j
-            xrow = xbuf[gslot * GROUP + j, 0]
+            xrow = xbuf[gslot * GROUP + j]
             w = wbuf[slot, 0, i]
             if mode == "mul_rel":
                 msg = rel_ref[mbuf[slot, 1, i]] * xrow
@@ -152,8 +151,8 @@ def _kernel_one_gather(
 
             @pl.when(flush)
             def _(d_prev=d_prev, acc=acc):
-                out_ref[pl.ds(d_prev, 1), :] = (
-                    out_ref[pl.ds(d_prev, 1), :] + acc[None, :]
+                out_ref[pl.ds(d_prev, 1)] = (
+                    out_ref[pl.ds(d_prev, 1)] + acc[None]
                 )
 
             acc = jnp.where(flush, msg, acc + msg)
@@ -163,9 +162,9 @@ def _kernel_one_gather(
     # row_local of padding chunks is 0, so a dummy previous row of 0 with a
     # zero accumulator is always safe
     d_last, acc_last = jax.lax.fori_loop(
-        0, ngroups, body, (0, jnp.zeros((fw,), jnp.float32))
+        0, ngroups, body, (0, jnp.zeros(out_ref.shape[1:], jnp.float32))
     )
-    out_ref[pl.ds(d_last, 1), :] = out_ref[pl.ds(d_last, 1), :] + acc_last[None, :]
+    out_ref[pl.ds(d_last, 1)] = out_ref[pl.ds(d_last, 1)] + acc_last[None]
 
 
 # ---------------------------------------------------------------------------
@@ -208,7 +207,6 @@ def _kernel_one_gather_vmem(
         wd2.start()
 
     te = mbuf.shape[-1]
-    fw = out_ref.shape[-1]
 
     def body(i, carry):
         d_prev, acc = carry
@@ -226,17 +224,17 @@ def _kernel_one_gather_vmem(
 
         @pl.when(flush)
         def _():
-            out_ref[pl.ds(d_prev, 1), :] = (
-                out_ref[pl.ds(d_prev, 1), :] + acc[None, :]
+            out_ref[pl.ds(d_prev, 1)] = (
+                out_ref[pl.ds(d_prev, 1)] + acc[None]
             )
 
         acc = jnp.where(flush, msg, acc + msg)
         return d, acc
 
     d_last, acc_last = jax.lax.fori_loop(
-        0, te, body, (0, jnp.zeros((fw,), jnp.float32))
+        0, te, body, (0, jnp.zeros(out_ref.shape[1:], jnp.float32))
     )
-    out_ref[pl.ds(d_last, 1), :] = out_ref[pl.ds(d_last, 1), :] + acc_last[None, :]
+    out_ref[pl.ds(d_last, 1)] = out_ref[pl.ds(d_last, 1)] + acc_last[None]
 
 
 def _kernel_bwd_fused_vmem(
@@ -269,7 +267,6 @@ def _kernel_bwd_fused_vmem(
         wd2.start()
 
     te = mbuf.shape[-1]
-    fw = dx_ref.shape[-1]
 
     def body(i, carry):
         d_prev, dx_acc, x_row = carry
@@ -281,8 +278,8 @@ def _kernel_bwd_fused_vmem(
 
         @pl.when(flush)
         def _():
-            dx_ref[pl.ds(d_prev, 1), :] = (
-                dx_ref[pl.ds(d_prev, 1), :] + dx_acc[None, :]
+            dx_ref[pl.ds(d_prev, 1)] = (
+                dx_ref[pl.ds(d_prev, 1)] + dx_acc[None]
             )
 
         x_row = jnp.where(flush, x_ref[d].astype(jnp.float32), x_row)
@@ -294,14 +291,12 @@ def _kernel_bwd_fused_vmem(
             dx_msg = gw
             dr_msg = gw
         dx_acc = jnp.where(flush, dx_msg, dx_acc + dx_msg)
-        dr_ref[pl.ds(r, 1), :] = dr_ref[pl.ds(r, 1), :] + dr_msg[None, :]
+        dr_ref[pl.ds(r, 1)] = dr_ref[pl.ds(r, 1)] + dr_msg[None]
         return d, dx_acc, x_row
 
-    d_last, dx_last, _ = jax.lax.fori_loop(
-        0, te, body,
-        (-1, jnp.zeros((fw,), jnp.float32), jnp.zeros((fw,), jnp.float32)),
-    )
-    dx_ref[pl.ds(d_last, 1), :] = dx_ref[pl.ds(d_last, 1), :] + dx_last[None, :]
+    zrow = jnp.zeros(dx_ref.shape[1:], jnp.float32)
+    d_last, dx_last, _ = jax.lax.fori_loop(0, te, body, (-1, zrow, zrow))
+    dx_ref[pl.ds(d_last, 1)] = dx_ref[pl.ds(d_last, 1)] + dx_last[None]
 
 
 # ---------------------------------------------------------------------------
@@ -347,7 +342,6 @@ def _kernel_bwd_fused(
         wd2.start()
 
     te = mbuf.shape[-1]
-    fw = dx_ref.shape[-1]
     ngroups = te // GROUP
 
     def start_group(g):
@@ -383,7 +377,7 @@ def _kernel_bwd_fused(
 
         for j in range(GROUP):
             i = g * GROUP + j
-            grow = gbuf[gslot * GROUP + j, 0]
+            grow = gbuf[gslot * GROUP + j]
             w = wbuf[slot, 0, i]
             r = mbuf[slot, 1, i]
             d = mbuf[slot, 2, i]
@@ -391,8 +385,8 @@ def _kernel_bwd_fused(
 
             @pl.when(flush)
             def _(d_prev=d_prev, dx_acc=dx_acc):
-                dx_ref[pl.ds(d_prev, 1), :] = (
-                    dx_ref[pl.ds(d_prev, 1), :] + dx_acc[None, :]
+                dx_ref[pl.ds(d_prev, 1)] = (
+                    dx_ref[pl.ds(d_prev, 1)] + dx_acc[None]
                 )
 
             x_row = jnp.where(flush, x_ref[d], x_row)
@@ -404,18 +398,18 @@ def _kernel_bwd_fused(
                 dx_msg = gw
                 dr_msg = gw
             dx_acc = jnp.where(flush, dx_msg, dx_acc + dx_msg)
-            dr_ref[pl.ds(r, 1), :] = dr_ref[pl.ds(r, 1), :] + dr_msg[None, :]
+            dr_ref[pl.ds(r, 1)] = dr_ref[pl.ds(r, 1)] + dr_msg[None]
             d_prev = d
         return d_prev, dx_acc, x_row
 
     # d_prev starts at -1 so the first edge always "flushes" (loading its x
     # row); the flush write dynamic-slices at -1, which clamps to row 0 and
     # adds a zero accumulator — harmless.
+    zrow = jnp.zeros(dx_ref.shape[1:], jnp.float32)
     d_last, dx_last, _ = jax.lax.fori_loop(
-        0, ngroups, body,
-        (-1, jnp.zeros((fw,), jnp.float32), jnp.zeros((fw,), jnp.float32)),
+        0, ngroups, body, (-1, zrow, zrow)
     )
-    dx_ref[pl.ds(d_last, 1), :] = dx_ref[pl.ds(d_last, 1), :] + dx_last[None, :]
+    dx_ref[pl.ds(d_last, 1)] = dx_ref[pl.ds(d_last, 1)] + dx_last[None]
 
 
 # ---------------------------------------------------------------------------
@@ -473,8 +467,8 @@ def _kernel_two_gather(
         x_dma(i).wait()
         g_dma(i).wait()
         dslot = jax.lax.rem(i, NBUF)
-        xrow = xbuf[dslot, 0]
-        grow = gbuf[dslot, 0]
+        xrow = xbuf[dslot]
+        grow = gbuf[dslot]
 
         @pl.when(i + NBUF < te)
         def _():
@@ -483,7 +477,7 @@ def _kernel_two_gather(
 
         msg = xrow * grow * wbuf[slot, 0, i]
         d = mbuf[slot, 2, i]
-        out_ref[pl.ds(d, 1), :] = out_ref[pl.ds(d, 1), :] + msg[None, :]
+        out_ref[pl.ds(d, 1)] = out_ref[pl.ds(d, 1)] + msg[None]
         return 0
 
     jax.lax.fori_loop(0, te, body, 0)
@@ -563,12 +557,13 @@ def rspmm_gather1(
     pieces = []
     for f0 in range(0, F_pad, tf):
         fw = min(tf, F_pad - f0)
+        ft = fw // _LANE  # rows carried as [ft, 128] tiles (no sublane padding)
         if data_vmem:
-            data_f = data[:, f0 : f0 + fw]
-            data_spec = pl.BlockSpec((v_pad, fw), lambda c, cr: (0, 0),
+            data_f = data[:, f0 : f0 + fw].reshape(-1, ft, _LANE)
+            data_spec = pl.BlockSpec((v_pad, ft, _LANE), lambda c, cr: (0, 0, 0),
                                      memory_space=pltpu.VMEM)
         else:
-            data_f = data[:, f0 : f0 + fw].reshape(V, 1, fw)
+            data_f = data[:, f0 : f0 + fw].reshape(V, ft, _LANE)
             data_spec = pl.BlockSpec(memory_space=pl.ANY)
         xbuf_dtype = data.dtype
         in_specs = [
@@ -585,21 +580,22 @@ def rspmm_gather1(
         ]
         if not data_vmem:
             scratch += [
-                pltpu.VMEM((NGRP * GROUP, 1, fw), xbuf_dtype),
+                pltpu.VMEM((NGRP * GROUP, ft, _LANE), xbuf_dtype),
                 pltpu.SemaphoreType.DMA((NGRP,)),
             ]
         if relation is not None:
             in_specs.append(
-                pl.BlockSpec((rel_rows, fw), lambda c, cr: (0, 0),
+                pl.BlockSpec((rel_rows, ft, _LANE), lambda c, cr: (0, 0, 0),
                              memory_space=pltpu.VMEM)
             )
-            args.append(relation[:, f0 : f0 + fw])
+            args.append(relation[:, f0 : f0 + fw].reshape(rel_rows, ft, _LANE))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(layout.num_chunks,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (tv, fw), lambda c, cr: (cr[0, c], 0), memory_space=pltpu.VMEM
+                (tv, ft, _LANE), lambda c, cr: (cr[0, c], 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             scratch_shapes=scratch,
         )
@@ -607,14 +603,14 @@ def rspmm_gather1(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(
-                (layout.padded_rows, fw), jnp.float32
+                (layout.padded_rows, ft, _LANE), jnp.float32
             ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
         )(layout.cr_pairs, *args)
-        pieces.append(piece)
+        pieces.append(piece.reshape(layout.padded_rows, fw))
     out = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
     return out[:, :F]
 
@@ -674,9 +670,10 @@ def rspmm_bwd_fused(
     dx_pieces, dr_pieces = [], []
     for f0 in range(0, F_pad, tf):
         fw = min(tf, F_pad - f0)
+        ft = fw // _LANE
         if g_vmem:
-            g_arg = g_flat[:, f0 : f0 + fw]
-            g_spec = pl.BlockSpec((vg_pad, fw), lambda c, cr: (0, 0),
+            g_arg = g_flat[:, f0 : f0 + fw].reshape(-1, ft, _LANE)
+            g_spec = pl.BlockSpec((vg_pad, ft, _LANE), lambda c, cr: (0, 0, 0),
                                   memory_space=pltpu.VMEM)
             scratch = [
                 pltpu.SMEM((2, 4, te), jnp.int32),
@@ -685,14 +682,14 @@ def rspmm_bwd_fused(
                 pltpu.SemaphoreType.DMA((2,)),
             ]
         else:
-            g_arg = g_flat[:, f0 : f0 + fw].reshape(Vg, 1, fw)
+            g_arg = g_flat[:, f0 : f0 + fw].reshape(Vg, ft, _LANE)
             g_spec = pl.BlockSpec(memory_space=pl.ANY)
             scratch = [
                 pltpu.SMEM((2, 4, te), jnp.int32),
                 pltpu.SMEM((2, 1, te), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.VMEM((NGRP * GROUP, 1, fw), g_flat.dtype),
+                pltpu.VMEM((NGRP * GROUP, ft, _LANE), g_flat.dtype),
                 pltpu.SemaphoreType.DMA((NGRP,)),
             ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -702,15 +699,15 @@ def rspmm_bwd_fused(
                 pl.BlockSpec(memory_space=pl.ANY),  # meta
                 pl.BlockSpec(memory_space=pl.ANY),  # weights
                 g_spec,
-                pl.BlockSpec((r_pad, fw), lambda c, cr: (0, 0),
+                pl.BlockSpec((r_pad, ft, _LANE), lambda c, cr: (0, 0, 0),
                              memory_space=pltpu.VMEM),  # relation
-                pl.BlockSpec((tv, fw), lambda c, cr: (cr[0, c], 0),
+                pl.BlockSpec((tv, ft, _LANE), lambda c, cr: (cr[0, c], 0, 0),
                              memory_space=pltpu.VMEM),  # x row-tile block
             ],
             out_specs=(
-                pl.BlockSpec((tv, fw), lambda c, cr: (cr[0, c], 0),
+                pl.BlockSpec((tv, ft, _LANE), lambda c, cr: (cr[0, c], 0, 0),
                              memory_space=pltpu.VMEM),  # dx
-                pl.BlockSpec((r_pad, fw), lambda c, cr: (0, 0),
+                pl.BlockSpec((r_pad, ft, _LANE), lambda c, cr: (0, 0, 0),
                              memory_space=pltpu.VMEM),  # dr accumulator
             ),
             scratch_shapes=scratch,
@@ -719,8 +716,8 @@ def rspmm_bwd_fused(
             kernel,
             grid_spec=grid_spec,
             out_shape=(
-                jax.ShapeDtypeStruct((layout.padded_rows, fw), jnp.float32),
-                jax.ShapeDtypeStruct((r_pad, fw), jnp.float32),
+                jax.ShapeDtypeStruct((layout.padded_rows, ft, _LANE), jnp.float32),
+                jax.ShapeDtypeStruct((r_pad, ft, _LANE), jnp.float32),
             ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
@@ -731,11 +728,11 @@ def rspmm_bwd_fused(
             meta,
             w3,
             g_arg,
-            relation_flat[:, f0 : f0 + fw],
-            x_flat[:, f0 : f0 + fw],
+            relation_flat[:, f0 : f0 + fw].reshape(r_pad, ft, _LANE),
+            x_flat[:, f0 : f0 + fw].reshape(layout.padded_rows, ft, _LANE),
         )
-        dx_pieces.append(dx_p)
-        dr_pieces.append(dr_p)
+        dx_pieces.append(dx_p.reshape(layout.padded_rows, fw))
+        dr_pieces.append(dr_p.reshape(r_pad, fw))
     dx = dx_pieces[0] if len(dx_pieces) == 1 else jnp.concatenate(dx_pieces, 1)
     dr = dr_pieces[0] if len(dr_pieces) == 1 else jnp.concatenate(dr_pieces, 1)
     return dx[:, :F], dr[:, :F]
@@ -791,7 +788,7 @@ def rspmm_gather2(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(
-                (layout.padded_rows, fw), jnp.float32
+                (layout.padded_rows, ft, _LANE), jnp.float32
             ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
@@ -801,10 +798,10 @@ def rspmm_gather2(
             layout.cr_pairs,
             meta,
             w3,
-            x[:, f0 : f0 + fw].reshape(Vx, 1, fw),
-            g[:, f0 : f0 + fw].reshape(Vg, 1, fw),
+            x[:, f0 : f0 + fw].reshape(Vx, ft, _LANE),
+            g[:, f0 : f0 + fw].reshape(Vg, ft, _LANE),
         )
-        pieces.append(piece)
+        pieces.append(piece.reshape(layout.padded_rows, fw))
     out = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
     return out[:, :F]
 
