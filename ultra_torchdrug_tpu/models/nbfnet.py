@@ -109,20 +109,26 @@ def _propagate(
             lambda *leaves: jnp.stack(leaves), *layer_params
         )
         lcfg = layer_cfgs[0]
+        shape3 = boundary.shape  # [V, B, D]
 
-        def body(x, p):
+        # the scan carry is saved per step for the backward pass; carry it
+        # FLAT [V, B*D] so the stored stack is lane-aligned — a [*, B, 64]
+        # carry would pad its 64-wide minor dim to 128 lanes (2x memory)
+        def body(x_flat, p):
             h = conv_apply(
-                p, lcfg, graph, x, boundary,
+                p, lcfg, graph, x_flat.reshape(shape3), boundary,
                 query=query, rel_injected=rel_injected, edge_grad=edge_grad,
             )
-            if cfg.short_cut and h.shape == x.shape:
-                h = h + x
-            return h, None
+            if cfg.short_cut and h.shape == shape3:
+                h = h + x_flat.reshape(shape3)
+            return h.reshape(shape3[0], -1), None
 
         if cfg.remat:
             body = jax.checkpoint(body)
-        out, _ = jax.lax.scan(body, boundary, stacked)
-        return out
+        out, _ = jax.lax.scan(
+            body, boundary.reshape(shape3[0], -1), stacked
+        )
+        return out.reshape(shape3[0], shape3[1], -1)
     hiddens = []
     x = boundary
 
