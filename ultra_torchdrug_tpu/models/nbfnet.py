@@ -160,6 +160,7 @@ def _propagate(
 def rel_nbfnet_config(
     input_dim: int = 64, hidden: int = 64, num_layers: int = 6,
     rspmm_impl: str = "xla", edge_axis: str = "", learn_query: bool = False,
+    remat: bool = False, compute_dtype: str = "float32",
 ) -> NBFNetConfig:
     """The fixed architecture RelNBFNet instantiates (rel_model.py:392-400):
     sum aggregation, layer_norm, short_cut, 4 relation types, distmult."""
@@ -176,6 +177,8 @@ def rel_nbfnet_config(
         rspmm_impl=rspmm_impl,
         edge_axis=edge_axis,
         learn_query=learn_query,
+        remat=remat,
+        compute_dtype=compute_dtype,
     )
 
 
@@ -253,6 +256,7 @@ def entity_nbfnet_config(
         rspmm_impl=rspmm_impl,
         edge_axis=kw.get("edge_axis", ""),
         remat=kw.get("remat", False),
+        compute_dtype=kw.get("compute_dtype", "float32"),
     )
 
 
