@@ -163,3 +163,15 @@ def test_engine_data_parallel_matches_single(tmp_path, rng):
     l_single = run(None)
     l_dp = run(make_mesh(data=8, edge=1))
     assert abs(l_single - l_dp) < 1e-4
+
+
+def test_distributed_helpers_single_process():
+    from ultra_torchdrug_tpu.parallel import distributed as dist
+
+    assert dist.process_count() == 1
+    m = dist.reduce_metrics_mean({"a": 1.0})
+    assert m == {"a": 1.0}
+    r = np.arange(10).reshape(5, 2)
+    np.testing.assert_array_equal(dist.gather_rankings(r), r)
+    np.testing.assert_array_equal(dist.shard_eval_triples(r), r)
+    assert not dist.initialize_distributed()
