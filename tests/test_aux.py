@@ -100,3 +100,19 @@ def test_wandb_logger_inert():
     logger = WandbLogger(config={"lr": 0.1, "bad": object()})
     logger.log({"loss": 1.0})
     logger.finish()
+
+
+def test_variadic_topks_per_segment_k(rng):
+    sizes = np.array([5, 2, 4], np.int32)
+    ks = np.array([3, 1, 2], np.int32)
+    vals = rng.normal(size=int(sizes.sum())).astype(np.float32)
+    topv, topi, valid = variadic.variadic_topks(
+        jnp.asarray(vals), jnp.asarray(sizes), jnp.asarray(ks)
+    )
+    topv, valid = np.asarray(topv), np.asarray(valid)
+    off = 0
+    for s_i, (sz, k) in enumerate(zip(sizes, ks)):
+        seg = np.sort(vals[off : off + sz])[::-1]
+        np.testing.assert_allclose(topv[s_i, :k], seg[:k], rtol=1e-6)
+        assert valid[s_i, :k].all() and not valid[s_i, k:].any()
+        off += sz

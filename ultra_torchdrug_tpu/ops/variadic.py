@@ -59,6 +59,33 @@ def variadic_topk(values: jnp.ndarray, sizes: jnp.ndarray, k: int, largest: bool
     return values[idx], idx
 
 
+def variadic_topks(values: jnp.ndarray, sizes: jnp.ndarray, ks: jnp.ndarray,
+                   largest: bool = True):
+    """Per-segment top-k with PER-SEGMENT k (the reference's variadic_topks,
+    functional.py:6-30). Padded formulation: returns (top_values [S, max_k],
+    top_index [S, max_k], valid [S, max_k]) where row s carries its top
+    min(ks[s], sizes[s]) entries followed by padding repeats of the last
+    valid entry; `valid` marks the first ks[s] slots."""
+    n = values.shape[0]
+    num_seg = sizes.shape[0]
+    max_k = int(ks.max()) if not hasattr(ks, "aval") else values.shape[0]
+    # static bound: callers pass concrete ks (host-side beam search); fall
+    # back to the global max when traced
+    try:
+        max_k = int(jnp.max(ks))
+    except Exception:
+        max_k = n
+    seg = segment_ids_from_sizes(sizes, n)
+    v = values if largest else -values
+    order = jnp.lexsort((-v, seg))
+    starts = jnp.cumsum(sizes) - sizes
+    rank = jnp.minimum(jnp.arange(max_k)[None, :], jnp.maximum(sizes[:, None] - 1, 0))
+    pos = jnp.clip(starts[:, None] + rank, 0, n - 1)
+    idx = order[pos]
+    valid = jnp.arange(max_k)[None, :] < ks[:, None]
+    return values[idx], idx, valid
+
+
 def variadic_unique(values: jnp.ndarray, sizes: jnp.ndarray):
     """Deduplicate within segments. Returns (unique_values_padded [N],
     new_sizes [S], keep_mask [N]) over the segment-sorted ordering: duplicates
