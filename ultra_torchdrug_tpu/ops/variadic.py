@@ -67,10 +67,8 @@ def variadic_topks(values: jnp.ndarray, sizes: jnp.ndarray, ks: jnp.ndarray,
     min(ks[s], sizes[s]) entries followed by padding repeats of the last
     valid entry; `valid` marks the first ks[s] slots."""
     n = values.shape[0]
-    num_seg = sizes.shape[0]
-    max_k = int(ks.max()) if not hasattr(ks, "aval") else values.shape[0]
-    # static bound: callers pass concrete ks (host-side beam search); fall
-    # back to the global max when traced
+    # static output width: callers pass concrete ks (host-side beam search);
+    # fall back to the total length when ks is traced
     try:
         max_k = int(jnp.max(ks))
     except Exception:
