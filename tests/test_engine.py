@@ -130,3 +130,20 @@ def test_toy_eval_protocol(tmp_path):
     # 50-negative protocol: ranks bounded by 51
     assert 0 < m["mrr"] <= 1
     assert 0 <= m["hits@10_50"] <= 1
+
+
+def test_learning_on_compositional_structure(tmp_path):
+    """Eval MRR must rise well above random after brief training on a KG whose
+    held-out triples follow compositional offset rules (uniform-random KGs are
+    unlearnable, so this is the real learning-loop check)."""
+    from ultra_torchdrug_tpu.data.datasets import synthetic_compositional
+
+    ds = synthetic_compositional(num_nodes=100, offsets=(1, 2, 3), per_relation=150)
+    cfg = tiny_model_cfg(ds.num_relations)
+    task = TransductiveKGTask(ds, cfg, TaskConfig(num_negative=16))
+    eng = Engine(task, batch_size=32, lr=5e-3, work_dir=str(tmp_path),
+                 log_interval=10**9)
+    m0 = eng.evaluate("valid")
+    eng.train(num_epoch=1, batch_per_epoch=60)
+    m1 = eng.evaluate("valid")
+    assert m1["mrr"] > max(3 * m0["mrr"], 0.08), (m0["mrr"], m1["mrr"])

@@ -39,6 +39,7 @@ from .datasets import (
     InductiveDataset,
     JointDataset,
     TransductiveDataset,
+    synthetic_compositional,
     synthetic_inductive,
     synthetic_transductive,
 )
@@ -563,6 +564,11 @@ def _synth(path=None, num_nodes=60, num_edges=400, num_relations=7, seed=0, **_)
 @register("SynthInductiveKG")
 def _synth_ind(path=None, num_relations=7, seed=0, **_):
     return synthetic_inductive("SynthInductiveKG", num_relations, seed)
+
+
+@register("SynthCompositionalKG")
+def _synth_comp(path=None, num_nodes=200, seed=0, **_):
+    return synthetic_compositional(num_nodes=num_nodes, seed=seed)
 
 
 @register("SynthJoint")
