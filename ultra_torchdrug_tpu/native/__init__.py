@@ -17,7 +17,10 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "graphlib.cpp")
-_SO = os.path.join(_DIR, "libgraphlib.so")
+_BUILD_DIR = os.path.join(_DIR, "build")  # not a package: keeps the .so out
+# of pkgutil's module discovery (a bare .so in the package dir would be
+# imported as an extension module and fail)
+_SO = os.path.join(_BUILD_DIR, "libgraphlib.so")
 _LOCK = threading.Lock()
 _LIB = None
 _TRIED = False
@@ -27,6 +30,7 @@ def _build() -> Optional[str]:
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
     try:
+        os.makedirs(_BUILD_DIR, exist_ok=True)
         subprocess.run(
             ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO],
             check=True, capture_output=True, timeout=240,
