@@ -23,10 +23,24 @@ import numpy as np
 
 
 def build_workload(V=15000, E=544 * 1024, R=474, B=64, D=64, seed=0):
+    """Heavy-tailed endpoint distribution (Zipf-like), matching real KG degree
+    statistics (FB15k237 etc. are strongly hub-dominated — a uniform-random
+    graph would misrepresent both cache behavior and kernel scheduling)."""
     rng = np.random.default_rng(seed)
+
+    def zipf_nodes(n):
+        # 50/50 uniform + zipf(1.5): top-1024 sources cover ~53% of edges,
+        # in line with FB15k237-like hub dominance
+        n_u = n // 2
+        uniform = rng.integers(0, V, n_u)
+        ranks = rng.zipf(1.5, size=3 * n)
+        ranks = ranks[ranks <= V][: n - n_u] - 1
+        perm = rng.permutation(V)  # decouple id order from hotness
+        out = np.concatenate([uniform, perm[ranks]])
+        return rng.permutation(out).astype(np.int32)
+
     triplets = np.stack(
-        [rng.integers(0, V, E), rng.integers(0, V, E), rng.integers(0, R, E)],
-        axis=1,
+        [zipf_nodes(E), zipf_nodes(E), rng.integers(0, R, E)], axis=1
     ).astype(np.int32)
     rel = rng.normal(size=(R, D)).astype(np.float32) * 0.1
     x = rng.normal(size=(V, B, D)).astype(np.float32) * 0.1

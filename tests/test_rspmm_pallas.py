@@ -189,3 +189,39 @@ def test_pallas_bfloat16_compute(rng):
     g_rel, g_x = jax.grad(loss, argnums=(0, 1))(args[3], args[4])
     assert np.isfinite(np.asarray(g_rel)).all()
     assert np.isfinite(np.asarray(g_x)).all()
+
+
+@pytest.mark.parametrize("msg", ["mul", "add"])
+def test_pallas_hot_row_split(rng, msg):
+    """Hot/cold forward split (VMEM-resident hot rows) matches the unsplit op,
+    forward and gradients, including per-batch weight masking."""
+    ei, et, w, rel, rel_b, x, _ = make_graph(rng, V=37, E=400)
+    V = x.shape[0]
+    layouts = build_rspmm_layouts(
+        ei, et, V, 6, tile_rows=16, tile_edges=32, hot_rows=8,
+        include_rel_layout=True,
+    )
+    assert layouts.fwd_hot is not None
+    keep = (rng.uniform(size=w.shape) > 0.3).astype(np.float32)
+    wj = jnp.asarray(w * keep)
+    args = (jnp.asarray(ei), jnp.asarray(et), wj, jnp.asarray(rel_b),
+            jnp.asarray(x))
+    want = generalized_rspmm(*args, msg=msg, agg="add", num_nodes=V, impl="xla")
+    got = generalized_rspmm(*args, msg=msg, agg="add", num_nodes=V,
+                            impl="pallas", layouts=layouts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(impl, lay):
+        def f(r, xx):
+            out = generalized_rspmm(args[0], args[1], args[2], r, xx, msg=msg,
+                                    agg="add", num_nodes=V, impl=impl,
+                                    layouts=lay)
+            return jnp.sum(out * jnp.sin(out))
+        return f
+
+    g_ref = jax.grad(loss("xla", None), argnums=(0, 1))(args[3], args[4])
+    g_hot = jax.grad(loss("pallas", layouts), argnums=(0, 1))(args[3], args[4])
+    for a, b in zip(g_ref, g_hot):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)

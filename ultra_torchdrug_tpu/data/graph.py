@@ -187,12 +187,17 @@ class Graph:
         tile_rows: int = 256,
         tile_edges: int = 256,
         include_rel_layout: bool = False,
+        hot_rows: int = None,
     ) -> "Graph":
         """Attach CSR layouts for the Pallas rspmm kernels (host-side; call
         once per graph after all topology transforms). include_rel_layout is
-        only needed for the transe message function."""
+        only needed for the transe message function. hot_rows: size of the
+        VMEM-resident hot-source row table for the forward kernel (default:
+        1024 for graphs too large to be fully VMEM-resident; 0 disables)."""
         from ..ops.csr import build_rspmm_layouts
 
+        if hot_rows is None:
+            hot_rows = 1024 if self.num_nodes > 2048 else 0
         layouts = build_rspmm_layouts(
             self.host_edge_index(),
             self.host_edge_type(),
@@ -201,6 +206,7 @@ class Graph:
             tile_rows=tile_rows,
             tile_edges=tile_edges,
             include_rel_layout=include_rel_layout,
+            hot_rows=hot_rows,
         )
         return dataclasses.replace(self, layouts=layouts)
 

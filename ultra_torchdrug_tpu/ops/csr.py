@@ -160,11 +160,25 @@ class RspmmLayouts:
     standalone d_relation SDDMM) is only required for the transe message
     function — distmult's d_relation rides the fused src-sorted backward —
     so it is None unless requested (device transfer of layouts is a real
-    cost on remote-TPU setups)."""
+    cost on remote-TPU setups).
 
-    fwd: CsrLayout  # rows = dst, gather1 = src
+    Optional hot-row split (real KGs have heavy-tailed degrees): `fwd` then
+    covers only the COLD edges, `fwd_hot` the edges whose source is among the
+    `hot_ids` highest-out-degree nodes — those rows are gathered from a
+    VMEM-resident table instead of per-edge HBM DMAs."""
+
+    fwd: CsrLayout  # rows = dst, gather1 = src (cold edges if hot split)
     rev: CsrLayout  # rows = src, gather1 = dst (d_input + fused d_relation)
     rel: object = None  # rows = etype, gather1 = src, gather2 = dst
+    fwd_hot: object = None  # CsrLayout over hot-source edges (gather1 = hot rank)
+    hot_ids: object = None  # int32 [K] node ids of the VMEM-resident rows
+
+
+def _remap_edge_id(layout: CsrLayout, orig_ids: np.ndarray) -> CsrLayout:
+    """Layouts built over an edge SUBSET carry subset-relative edge_id; remap
+    to the original edge array so per-batch weight gathers stay global."""
+    remapped = np.asarray(orig_ids, np.int32)[np.asarray(layout.edge_id)]
+    return dataclasses.replace(layout, edge_id=jnp.asarray(remapped))
 
 
 def build_rspmm_layouts(
@@ -175,7 +189,11 @@ def build_rspmm_layouts(
     tile_rows: int = 256,
     tile_edges: int = 256,
     include_rel_layout: bool = False,
+    hot_rows: int = 0,
 ) -> RspmmLayouts:
+    """hot_rows > 0 splits forward edges by source hotness: the hot_rows
+    highest-out-degree sources' rows live in VMEM during the forward kernel
+    (heavy-tailed KGs put most gathers there)."""
     edge_index = np.asarray(edge_index)
     edge_type = np.asarray(edge_type)
     src, dst = edge_index[:, 0], edge_index[:, 1]
@@ -187,10 +205,36 @@ def build_rspmm_layouts(
             tile_rows=min(tile_rows, max(8, -(-num_relations // 8) * 8)),
             tile_edges=tile_edges,
         )
-    return RspmmLayouts(
-        fwd=build_layout(dst, src, edge_type, num_nodes,
+    fwd_hot = None
+    hot_ids = None
+    if hot_rows > 0 and num_nodes > hot_rows:
+        out_deg = np.bincount(src, minlength=num_nodes)
+        hot_ids = np.argsort(-out_deg, kind="stable")[:hot_rows].astype(np.int32)
+        hot_rank = np.full(num_nodes, -1, np.int32)
+        hot_rank[hot_ids] = np.arange(hot_rows, dtype=np.int32)
+        is_hot = hot_rank[src] >= 0
+        cold_idx = np.nonzero(~is_hot)[0].astype(np.int32)
+        hot_idx = np.nonzero(is_hot)[0].astype(np.int32)
+        fwd = _remap_edge_id(
+            build_layout(dst[cold_idx], src[cold_idx], edge_type[cold_idx],
+                         num_nodes, tile_rows=tile_rows, tile_edges=tile_edges),
+            cold_idx,
+        )
+        fwd_hot = _remap_edge_id(
+            build_layout(dst[hot_idx], hot_rank[src[hot_idx]],
+                         edge_type[hot_idx], num_nodes,
                          tile_rows=tile_rows, tile_edges=tile_edges),
+            hot_idx,
+        )
+        hot_ids = jnp.asarray(hot_ids)
+    else:
+        fwd = build_layout(dst, src, edge_type, num_nodes,
+                           tile_rows=tile_rows, tile_edges=tile_edges)
+    return RspmmLayouts(
+        fwd=fwd,
         rev=build_layout(src, dst, edge_type, num_nodes,
                          tile_rows=tile_rows, tile_edges=tile_edges),
         rel=rel_layout,
+        fwd_hot=fwd_hot,
+        hot_ids=hot_ids,
     )

@@ -829,15 +829,32 @@ def _weight_chunks(edge_weight, layout: CsrLayout):
 def rspmm_fwd_pallas(layouts, edge_weight, relation, x, *, msg, num_nodes,
                      compute_dtype=jnp.float32):
     B = x.shape[1]
+    x_flat = _flat(x)
+    rel_flat = _rel_flat(relation, B)
+    mode = "mul_rel" if msg == "mul" else "add_rel"
     out = rspmm_gather1(
-        _flat(x),
-        _rel_flat(relation, B),
+        x_flat,
+        rel_flat,
         _weight_chunks(edge_weight, layouts.fwd),
         layouts.fwd,
         layouts.fwd.gather1,
-        mode="mul_rel" if msg == "mul" else "add_rel",
+        mode=mode,
         compute_dtype=compute_dtype,
     )
+    if layouts.fwd_hot is not None:
+        # hot-source edges: their x rows form a small VMEM-resident table
+        # (rspmm_gather1 takes the VMEM variant automatically for small data)
+        x_hot = x_flat[layouts.hot_ids]
+        out_hot = rspmm_gather1(
+            x_hot,
+            rel_flat,
+            _weight_chunks(edge_weight, layouts.fwd_hot),
+            layouts.fwd_hot,
+            layouts.fwd_hot.gather1,
+            mode=mode,
+            compute_dtype=compute_dtype,
+        )
+        out = out + out_hot
     return out[:num_nodes].reshape(num_nodes, *x.shape[1:])
 
 
