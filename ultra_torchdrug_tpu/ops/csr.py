@@ -172,6 +172,8 @@ class RspmmLayouts:
     rel: object = None  # rows = etype, gather1 = src, gather2 = dst
     fwd_hot: object = None  # CsrLayout over hot-source edges (gather1 = hot rank)
     hot_ids: object = None  # int32 [K] node ids of the VMEM-resident rows
+    rev_hot: object = None  # CsrLayout over hot-DST edges (backward g table)
+    rev_hot_ids: object = None  # int32 [K] dst node ids for the backward
 
 
 def _remap_edge_id(layout: CsrLayout, orig_ids: np.ndarray) -> CsrLayout:
@@ -230,11 +232,37 @@ def build_rspmm_layouts(
     else:
         fwd = build_layout(dst, src, edge_type, num_nodes,
                            tile_rows=tile_rows, tile_edges=tile_edges)
+    rev_hot = None
+    rev_hot_ids = None
+    if hot_rows > 0 and num_nodes > hot_rows:
+        # backward gathers g[dst]: split by destination hotness
+        in_deg = np.bincount(dst, minlength=num_nodes)
+        rh_ids = np.argsort(-in_deg, kind="stable")[:hot_rows].astype(np.int32)
+        rh_rank = np.full(num_nodes, -1, np.int32)
+        rh_rank[rh_ids] = np.arange(hot_rows, dtype=np.int32)
+        is_hot_d = rh_rank[dst] >= 0
+        cold_d = np.nonzero(~is_hot_d)[0].astype(np.int32)
+        hot_d = np.nonzero(is_hot_d)[0].astype(np.int32)
+        rev = _remap_edge_id(
+            build_layout(src[cold_d], dst[cold_d], edge_type[cold_d],
+                         num_nodes, tile_rows=tile_rows, tile_edges=tile_edges),
+            cold_d,
+        )
+        rev_hot = _remap_edge_id(
+            build_layout(src[hot_d], rh_rank[dst[hot_d]], edge_type[hot_d],
+                         num_nodes, tile_rows=tile_rows, tile_edges=tile_edges),
+            hot_d,
+        )
+        rev_hot_ids = jnp.asarray(rh_ids)
+    else:
+        rev = build_layout(src, dst, edge_type, num_nodes,
+                           tile_rows=tile_rows, tile_edges=tile_edges)
     return RspmmLayouts(
         fwd=fwd,
-        rev=build_layout(src, dst, edge_type, num_nodes,
-                         tile_rows=tile_rows, tile_edges=tile_edges),
+        rev=rev,
         rel=rel_layout,
         fwd_hot=fwd_hot,
         hot_ids=hot_ids,
+        rev_hot=rev_hot,
+        rev_hot_ids=rev_hot_ids,
     )

@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .csr import CsrLayout
 
-_VMEM_DATA_BUDGET = 40 * 1024 * 1024  # gathered operand VMEM residency cap
+_VMEM_DATA_BUDGET = 56 * 1024 * 1024  # gathered operand VMEM residency cap
 NBUF = 16  # per-edge DMA lookahead depth (two-gather template)
 GROUP = 8  # row DMAs per shared semaphore (grouped-wait templates)
 NGRP = 4   # groups in flight
@@ -864,12 +864,22 @@ def rspmm_bwd_pallas(layouts, edge_weight, relation, x, g, *, msg,
     B = x.shape[1]
     g_flat = _flat(g)
     if msg == "mul":
+        rel_flat = _rel_flat(relation, B)
         dx_flat, dr_flat = rspmm_bwd_fused(
-            _flat(x), g_flat, _rel_flat(relation, B),
+            _flat(x), g_flat, rel_flat,
             _weight_chunks(edge_weight, layouts.rev),
             layouts.rev,
             compute_dtype=compute_dtype,
         )
+        if layouts.rev_hot is not None:
+            dx_h, dr_h = rspmm_bwd_fused(
+                _flat(x), g_flat[layouts.rev_hot_ids], rel_flat,
+                _weight_chunks(edge_weight, layouts.rev_hot),
+                layouts.rev_hot,
+                compute_dtype=compute_dtype,
+            )
+            dx_flat = dx_flat + dx_h
+            dr_flat = dr_flat + dr_h
         dx = dx_flat[: x.shape[0]].reshape(x.shape)
     else:  # transe
         if layouts.rel is None:
@@ -877,11 +887,18 @@ def rspmm_bwd_pallas(layouts, edge_weight, relation, x, g, *, msg,
                 "transe backward needs the relation-sorted layout: build with "
                 "include_rel_layout=True (Graph.prepare_pallas)"
             )
-        dx = rspmm_gather1(
+        dx_flat = rspmm_gather1(
             g_flat, None,
             _weight_chunks(edge_weight, layouts.rev),
             layouts.rev, layouts.rev.gather1, mode="none",
-        )[: x.shape[0]].reshape(x.shape)
+        )
+        if layouts.rev_hot is not None:
+            dx_flat = dx_flat + rspmm_gather1(
+                g_flat[layouts.rev_hot_ids], None,
+                _weight_chunks(edge_weight, layouts.rev_hot),
+                layouts.rev_hot, layouts.rev_hot.gather1, mode="none",
+            )
+        dx = dx_flat[: x.shape[0]].reshape(x.shape)
         dr_flat = rspmm_gather1(
             g_flat, None,
             _weight_chunks(edge_weight, layouts.rel),
