@@ -136,3 +136,58 @@ def test_imported_model_scores(tmp_path, rng):
         jnp.asarray([0, 1]), jnp.asarray([2, 3]), jnp.asarray([0, 1]),
     )
     assert np.isfinite(np.asarray(t_s)).all()
+
+
+def test_export_import_roundtrip(tmp_path):
+    """Our params -> reference .pth -> back: bit-identical live weights."""
+    from ultra_torchdrug_tpu.utils.checkpoint import export_torch_checkpoint
+
+    cfg, params = template()
+    path = str(tmp_path / "exported.pth")
+    export_torch_checkpoint(path, params)
+    back = import_torch_checkpoint(path, params)
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_exported_checkpoint_keys_match_reference_layout(tmp_path):
+    from ultra_torchdrug_tpu.utils.checkpoint import export_torch_checkpoint
+
+    cfg, params = template()
+    path = str(tmp_path / "exported.pth")
+    export_torch_checkpoint(path, params)
+    sd = torch.load(path, weights_only=False)["model"]
+    want_subset = {
+        "model.layers.0.linear.weight",
+        "model.layers.0.layer_norm.weight",
+        "model.layers.0.relation_projection.layers.0.weight",
+        "model.mlp.layers.1.bias",
+        "model.dist_embed.weight",
+        "rel_models.0.model.layers.1.relation.weight",
+        "rel_models.0.model.mlp.layers.0.weight",
+    }
+    assert want_subset <= set(sd)
+    # torch layout: Linear stores [out, in]
+    assert sd["model.layers.0.linear.weight"].shape == (8, 16)
+
+
+def test_multi_tower_export_import_roundtrip(tmp_path):
+    from ultra_torchdrug_tpu.utils.checkpoint import export_torch_checkpoint
+
+    d, R = 8, 5
+    cfg = UltraConfig(
+        entity=entity_nbfnet_config(input_dim=d, hidden_dims=(d, d),
+                                    num_relations=R * 2),
+        relation=rel_nbfnet_config(input_dim=d, hidden=d, num_layers=2),
+        num_rel_models=3,
+    )
+    params = ultra_init(jax.random.PRNGKey(4), cfg)
+    path = str(tmp_path / "multi.pth")
+    export_torch_checkpoint(path, params)
+    back = import_torch_checkpoint(path, params)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)

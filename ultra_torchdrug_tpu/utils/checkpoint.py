@@ -132,6 +132,17 @@ def import_torch_checkpoint(path: str, params_template, fix_reasoner: bool = Fal
 
     params = jax.tree_util.tree_map(lambda x: np.array(x), params_template)
 
+    def _rel_path(params, tower_idx):
+        # single tower: params["relation"] is a dict; multi: a list of dicts
+        if isinstance(params["relation"], list):
+            return ["relation", tower_idx]
+        if tower_idx != 0:
+            raise ValueError(
+                f"checkpoint has rel_models.{tower_idx} but the model is "
+                f"configured with a single relation tower"
+            )
+        return ["relation"]
+
     def assign(dst_parts, value, transpose=False):
         node = params
         for p in dst_parts[:-1]:
@@ -179,23 +190,25 @@ def import_torch_checkpoint(path: str, params_template, fix_reasoner: bool = Fal
             assign(["entity", "mlp", "layers", j, "w" if wb == "weight" else "b"],
                    value, transpose=(wb == "weight"))
             continue
-        m = re.match(r"rel_models\.0\.model\.layers\.(\d+)\.linear\.(weight|bias)$", key)
+        m = re.match(r"rel_models\.(\d+)\.model\.layers\.(\d+)\.linear\.(weight|bias)$", key)
         if m:
-            i, wb = int(m.group(1)), m.group(2)
-            assign(["relation", "layers", i, "linear", "w" if wb == "weight" else "b"],
+            t, i, wb = int(m.group(1)), int(m.group(2)), m.group(3)
+            assign(_rel_path(params, t) + ["layers", i, "linear",
+                    "w" if wb == "weight" else "b"],
                    value, transpose=(wb == "weight"))
             continue
-        m = re.match(r"rel_models\.0\.model\.layers\.(\d+)\.layer_norm\.(weight|bias)$", key)
+        m = re.match(r"rel_models\.(\d+)\.model\.layers\.(\d+)\.layer_norm\.(weight|bias)$", key)
         if m:
-            i, wb = int(m.group(1)), m.group(2)
-            assign(["relation", "layers", i, "layer_norm",
+            t, i, wb = int(m.group(1)), int(m.group(2)), m.group(3)
+            assign(_rel_path(params, t) + ["layers", i, "layer_norm",
                     "scale" if wb == "weight" else "bias"], value)
             continue
-        m = re.match(r"rel_models\.0\.model\.layers\.(\d+)\.relation\.weight$", key)
+        m = re.match(r"rel_models\.(\d+)\.model\.layers\.(\d+)\.relation\.weight$", key)
         if m:
-            assign(["relation", "layers", int(m.group(1)), "relation", "weight"], value)
+            t, i = int(m.group(1)), int(m.group(2))
+            assign(_rel_path(params, t) + ["layers", i, "relation", "weight"], value)
             continue
-        if re.search(r"dist_embed|rel_models\.0\.model\.mlp|graph|query\.weight", key):
+        if re.search(r"dist_embed|rel_models\.\d+\.model\.mlp|graph|query\.weight", key):
             continue
         unmatched.append(key)
     if unmatched:
@@ -203,3 +216,64 @@ def import_torch_checkpoint(path: str, params_template, fix_reasoner: bool = Fal
 
         warnings.warn(f"unmatched checkpoint keys: {unmatched}")
     return _to_device(params)
+
+
+def export_torch_checkpoint(path: str, params, num_relations_rel_tower: int = 4):
+    """Write our parameter tree as a reference-layout torch ``.pth`` state
+    dict (inverse of import_torch_checkpoint) — lets reference-side tooling
+    consume checkpoints trained here. Dead reference parameters that have no
+    counterpart (dist_embed, rel-tower mlp) are emitted as zeros so strict
+    loaders find every key."""
+    import torch
+
+    sd = {}
+
+    def put(key, arr, transpose=False):
+        a = np.asarray(arr, np.float32)
+        if transpose:
+            a = a.T
+        sd[key] = torch.tensor(a)
+
+    entity = params["entity"]
+    for i, lp in enumerate(entity["layers"]):
+        put(f"model.layers.{i}.linear.weight", lp["linear"]["w"], transpose=True)
+        put(f"model.layers.{i}.linear.bias", lp["linear"]["b"])
+        if "layer_norm" in lp:
+            put(f"model.layers.{i}.layer_norm.weight", lp["layer_norm"]["scale"])
+            put(f"model.layers.{i}.layer_norm.bias", lp["layer_norm"]["bias"])
+        if "relation_projection" in lp:
+            for j, mp in enumerate(lp["relation_projection"]["layers"]):
+                put(f"model.layers.{i}.relation_projection.layers.{j}.weight",
+                    mp["w"], transpose=True)
+                put(f"model.layers.{i}.relation_projection.layers.{j}.bias",
+                    mp["b"])
+    for j, mp in enumerate(entity["mlp"]["layers"]):
+        put(f"model.mlp.layers.{j}.weight", mp["w"], transpose=True)
+        put(f"model.mlp.layers.{j}.bias", mp["b"])
+    d = np.asarray(entity["layers"][0]["linear"]["w"]).shape[1]
+    sd["model.dist_embed.weight"] = torch.zeros(10, d)
+
+    relation = params["relation"]
+    towers = relation if isinstance(relation, list) else [relation]
+    for t, tower in enumerate(towers):
+        for i, lp in enumerate(tower["layers"]):
+            put(f"rel_models.{t}.model.layers.{i}.linear.weight",
+                lp["linear"]["w"], transpose=True)
+            put(f"rel_models.{t}.model.layers.{i}.linear.bias", lp["linear"]["b"])
+            if "layer_norm" in lp:
+                put(f"rel_models.{t}.model.layers.{i}.layer_norm.weight",
+                    lp["layer_norm"]["scale"])
+                put(f"rel_models.{t}.model.layers.{i}.layer_norm.bias",
+                    lp["layer_norm"]["bias"])
+            if "relation" in lp:
+                put(f"rel_models.{t}.model.layers.{i}.relation.weight",
+                    lp["relation"]["weight"])
+        # dead rel-tower scoring mlp the reference instantiates
+        hid = np.asarray(tower["layers"][-1]["linear"]["w"]).shape[1]
+        sd[f"rel_models.{t}.model.mlp.layers.0.weight"] = torch.zeros(2 * hid, 2 * hid)
+        sd[f"rel_models.{t}.model.mlp.layers.0.bias"] = torch.zeros(2 * hid)
+        sd[f"rel_models.{t}.model.mlp.layers.1.weight"] = torch.zeros(hid, 2 * hid)
+        sd[f"rel_models.{t}.model.mlp.layers.1.bias"] = torch.zeros(hid)
+
+    torch.save({"model": sd, "optimizer": {}}, path)
+    return path
