@@ -121,3 +121,40 @@ def test_loss_and_grads(rng):
     # at least some gradient signal everywhere except unused trees
     nonzero = sum(float(jnp.abs(l).sum()) > 0 for l in leaves)
     assert nonzero > len(leaves) * 0.8
+
+
+def test_remat_modes_identical_gradients(rng):
+    """All remat policies must produce identical losses and gradients."""
+    import dataclasses
+
+    g = tiny_kg(rng)
+    rg = build_relation_graph(g)
+    base = small_cfg(g.num_relations)
+    B, N = 4, 6
+    el = np.asarray(g.edge_list)
+    pos = el[rng.choice(len(el), B, replace=False)]
+    h, t, r = (jnp.asarray(pos[:, i]) for i in range(3))
+    neg = jnp.asarray(rng.integers(0, g.num_nodes, (B, N)).astype(np.int32))
+    params = ultra_init(jax.random.PRNGKey(0), base)
+
+    results = {}
+    for mode in (False, True, "save_rspmm"):
+        cfg = dataclasses.replace(
+            base,
+            entity=dataclasses.replace(base.entity, remat=mode),
+            relation=dataclasses.replace(base.relation, remat=mode),
+        )
+
+        def loss(p):
+            return bce_self_adversarial(
+                ultra_train_scores(p, cfg, g, rg, h, t, r, neg)
+            )
+
+        l, grads = jax.value_and_grad(loss)(params)
+        results[str(mode)] = (float(l), jax.tree_util.tree_leaves(grads))
+    base_l, base_g = results["False"]
+    for mode, (l, gl) in results.items():
+        assert abs(l - base_l) < 1e-6, mode
+        for a, b in zip(gl, base_g):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6, err_msg=mode)

@@ -52,7 +52,7 @@ def build_model_config(cfg_task: dict, num_relations: int, rspmm_impl: str = "au
         num_mlp_layer=int(m.get("num_mlp_layer", 2)),
         project=bool(m.get("project", True)),
         rspmm_impl=impl,
-        remat=bool(m.get("remat", cfg_task.get("remat", False))),
+        remat=m.get("remat", cfg_task.get("remat", False)),
         compute_dtype=str(m.get("compute_dtype", "float32")),
     )
     rel_models_cfg = cfg_task.get("rel_models", {})
@@ -63,7 +63,7 @@ def build_model_config(cfg_task: dict, num_relations: int, rspmm_impl: str = "au
         num_layers=rm.get("num_layers", 6),
         rspmm_impl=impl,
         learn_query=bool(rm.get("learn_query", False)),
-        remat=bool(rm.get("remat", cfg_task.get("remat", False))),
+        remat=rm.get("remat", cfg_task.get("remat", False)),
         compute_dtype=str(rm.get("compute_dtype",
                                  m.get("compute_dtype", "float32"))),
     )

@@ -26,6 +26,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..nn.core import (
     layer_norm_apply,
@@ -150,6 +151,12 @@ def conv_apply(
     rel = _relation_input(params, cfg, query, rel_injected)
 
     def spmm(relation, xx, agg):
+        out = _spmm_raw(relation, xx, agg)
+        # named for remat policies: remat="save_rspmm" keeps these results so
+        # the backward pass skips re-running the gather kernels
+        return checkpoint_name(out, "rspmm_out")
+
+    def _spmm_raw(relation, xx, agg):
         if cfg.message_func == "rotate":
             assert agg in ("add", "max", "min")
             return _rotate_messages_aggregate(graph, relation, xx, agg)

@@ -53,7 +53,13 @@ class NBFNetConfig:
     rspmm_impl: str = "xla"
     edge_axis: str = ""
     learn_query: bool = False  # rel tower: learned query vector vs all-ones
-    remat: bool = False  # jax.checkpoint each layer (recompute in backward)
+    # rematerialization of the layer stack in the backward pass:
+    #   False / "none"  — save everything (fastest, most memory)
+    #   True / "full"   — save only layer inputs, recompute all internals
+    #   "save_rspmm"    — additionally save the rspmm outputs, so the
+    #                     backward recomputes only cheap elementwise work
+    #                     (+1x [V,B,D] saved per layer, -1 kernel pass)
+    remat: object = False
     compute_dtype: str = "float32"  # pallas message math dtype (bf16 opt-in)
 
     def layer_configs(self):
@@ -76,6 +82,15 @@ class NBFNetConfig:
             )
             for i in range(len(dims) - 1)
         ]
+
+
+def _maybe_remat(fn, remat, static_argnums=()):
+    if not remat or remat == "none":
+        return fn
+    if remat == "save_rspmm":
+        policy = jax.checkpoint_policies.save_only_these_names("rspmm_out")
+        return jax.checkpoint(fn, policy=policy, static_argnums=static_argnums)
+    return jax.checkpoint(fn, static_argnums=static_argnums)
 
 
 def _scannable(layer_params, layer_cfgs, cfg: NBFNetConfig) -> bool:
@@ -123,8 +138,7 @@ def _propagate(
                 h = h + x_flat.reshape(shape3)
             return h.reshape(shape3[0], -1), None
 
-        if cfg.remat:
-            body = jax.checkpoint(body)
+        body = _maybe_remat(body, cfg.remat)
         out, _ = jax.lax.scan(
             body, boundary.reshape(shape3[0], -1), stacked
         )
@@ -142,7 +156,7 @@ def _propagate(
         return h
 
     if cfg.remat and not edge_grad:
-        one_layer = jax.checkpoint(one_layer, static_argnums=(1,))
+        one_layer = _maybe_remat(one_layer, cfg.remat, static_argnums=(1,))
     for p, lcfg in zip(layer_params, layer_cfgs):
         h = one_layer(p, lcfg, x)
         hiddens.append(h)
