@@ -99,11 +99,36 @@ class _TaskBase:
     def _uses_pallas(self) -> bool:
         return self.model_cfg.entity.rspmm_impl == "pallas"
 
+    # V above which save_rspmm's extra per-layer [V, B, D] residuals no longer
+    # fit 16 GB HBM at batch 64 (WN18RR-scale graphs OOM; FB-scale is fine)
+    _SAVE_RSPMM_MAX_NODES = 25000
+
+    def _resolve_model_cfg(self, fact_graph: Graph) -> UltraConfig:
+        """remat="auto": pick the cheapest policy that fits — save_rspmm for
+        small graphs (backward skips the gather kernels), full remat above
+        the node threshold."""
+        cfg = self.model_cfg
+        if cfg.entity.remat != "auto" and cfg.relation.remat != "auto":
+            return cfg
+        choice = (
+            "save_rspmm"
+            if fact_graph.num_nodes <= self._SAVE_RSPMM_MAX_NODES
+            else True
+        )
+        ent = cfg.entity if cfg.entity.remat != "auto" else dataclasses.replace(
+            cfg.entity, remat=choice
+        )
+        rel = cfg.relation if cfg.relation.remat != "auto" else dataclasses.replace(
+            cfg.relation, remat=choice
+        )
+        return dataclasses.replace(cfg, entity=ent, relation=rel)
+
     # scoring hooks — ULTRA by default; ClassicNBFNet tasks override these
-    def _train_scores(self, params, fact_graph, rel_graph, h, t, r, neg, fact_und):
+    def _train_scores(self, params, fact_graph, rel_graph, h, t, r, neg,
+                      fact_und, model_cfg=None):
         return ultra_train_scores(
-            params, self.model_cfg, fact_graph, rel_graph, h, t, r, neg,
-            fact_graph_und=fact_und,
+            params, model_cfg or self.model_cfg, fact_graph, rel_graph,
+            h, t, r, neg, fact_graph_und=fact_und,
         )
 
     def _eval_scores(self, params, fact_graph, rel_graph, h, t, r, fact_und):
@@ -127,6 +152,7 @@ class _TaskBase:
 
     def _build_loss_fn(self, fact_graph: Graph, rel_graph: Graph, num_nodes: int):
         cfg = self.cfg
+        model_cfg = self._resolve_model_cfg(fact_graph)
         fact_und, rel_graph = self._prepare_graphs(fact_graph, rel_graph)
 
         def loss_fn(params, key, batch, sample_weight=None):
@@ -140,7 +166,8 @@ class _TaskBase:
                     key, (batch.shape[0], cfg.num_negative), 0, num_nodes
                 )
             scores = self._train_scores(
-                params, fact_graph, rel_graph, h, t, r, neg, fact_und
+                params, fact_graph, rel_graph, h, t, r, neg, fact_und,
+                model_cfg=model_cfg,
             )
             loss = _criterion_loss(cfg, scores, sample_weight)
             metrics = {
@@ -503,7 +530,8 @@ class ClassicNBFNetTask(TransductiveKGTask):
             und = und.prepare_pallas()
         return und, rel_graph
 
-    def _train_scores(self, params, fact_graph, rel_graph, h, t, r, neg, fact_und):
+    def _train_scores(self, params, fact_graph, rel_graph, h, t, r, neg,
+                      fact_und, model_cfg=None):
         from ..models.classic_nbfnet import classic_score_all
         from ..models.ultra import _flip_heads_to_tails, _mask_easy_edges
 
