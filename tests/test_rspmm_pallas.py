@@ -191,6 +191,49 @@ def test_pallas_bfloat16_compute(rng):
     assert np.isfinite(np.asarray(g_x)).all()
 
 
+@pytest.mark.parametrize("hot_rows", [0, 8])
+def test_pallas_empty_row_tiles(rng, hot_rows):
+    """Row tiles with zero incident edges must come back as zeros, not
+    uninitialized VMEM: all edges touch nodes < 48 while V=200 with
+    tile_rows=16, leaving most output tiles edge-free (regression for the
+    round-1 advisor finding on ops/csr.py)."""
+    V, E, R, B, D = 200, 150, 5, 2, 4
+    heads = rng.integers(0, 48, E).astype(np.int32)
+    tails = rng.integers(0, 48, E).astype(np.int32)
+    types = rng.integers(0, R, E).astype(np.int32)
+    ei = np.stack([heads, tails], 1)
+    w = rng.uniform(0.5, 1.5, E).astype(np.float32)
+    rel = rng.normal(size=(R, D)).astype(np.float32)
+    x = rng.normal(size=(V, B, D)).astype(np.float32)
+    layouts = build_rspmm_layouts(ei, types, V, R, tile_rows=16, tile_edges=32,
+                                  include_rel_layout=True, hot_rows=hot_rows)
+    args = (jnp.asarray(ei), jnp.asarray(types), jnp.asarray(w),
+            jnp.asarray(rel), jnp.asarray(x))
+    for msg in ("mul", "add"):
+        want = generalized_rspmm(*args, msg=msg, agg="add", num_nodes=V,
+                                 impl="xla")
+        got = generalized_rspmm(*args, msg=msg, agg="add", num_nodes=V,
+                                impl="pallas", layouts=layouts)
+        assert np.isfinite(np.asarray(got)).all()
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(impl, lay, msg=msg):
+            def f(r, xx):
+                out = generalized_rspmm(args[0], args[1], args[2], r, xx,
+                                        msg=msg, agg="add", num_nodes=V,
+                                        impl=impl, layouts=lay)
+                return jnp.sum(out * jnp.sin(out))
+            return f
+
+        g_xla = jax.grad(loss("xla", None), argnums=(0, 1))(args[3], args[4])
+        g_pal = jax.grad(loss("pallas", layouts), argnums=(0, 1))(args[3], args[4])
+        for a, b in zip(g_xla, g_pal):
+            assert np.isfinite(np.asarray(b)).all()
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("msg", ["mul", "add"])
 def test_pallas_hot_row_split(rng, msg):
     """Hot/cold forward split (VMEM-resident hot rows) matches the unsplit op,

@@ -59,9 +59,12 @@ int64_t csr_layout_build(
   std::vector<int64_t> counts(num_tiles, 0);
   for (int64_t e = 0; e < num_edges; ++e) counts[row_ids[e] / tile_rows]++;
   std::vector<int64_t> aligned(num_tiles), starts(num_tiles + 1, 0);
+  // every row tile gets >= 1 chunk: the Pallas kernels only zero an output
+  // tile when a chunk targeting it arrives, so an edge-free tile would
+  // otherwise return uninitialized VMEM
   for (int64_t t = 0; t < num_tiles; ++t)
-    aligned[t] = ((counts[t] + tile_edges - 1) / tile_edges) * tile_edges;
-  if (num_edges == 0) aligned[0] = tile_edges;
+    aligned[t] = std::max<int64_t>(
+        tile_edges, ((counts[t] + tile_edges - 1) / tile_edges) * tile_edges);
   for (int64_t t = 0; t < num_tiles; ++t) starts[t + 1] = starts[t] + aligned[t];
   int64_t E2 = starts[num_tiles];
 

@@ -85,9 +85,10 @@ def build_layout(
     num_row_tiles = max(1, -(-num_rows // tile_rows))
     counts = np.bincount(rt, minlength=num_row_tiles)
     aligned = ((counts + tile_edges - 1) // tile_edges) * tile_edges
-    # guarantee at least one chunk overall
-    if aligned.sum() == 0:
-        aligned[0] = tile_edges
+    # every row tile needs >= 1 chunk: the kernels only zero an output tile
+    # when a chunk targeting it arrives, so edge-free tiles would otherwise
+    # return uninitialized garbage
+    aligned = np.maximum(aligned, tile_edges)
     starts = np.concatenate([[0], np.cumsum(aligned)])[:-1]
     orig_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
     pos = starts[rt] + (np.arange(E) - orig_starts[rt])
