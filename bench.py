@@ -103,6 +103,38 @@ def bench_impl(impl, triplets, rel, x, V, R, chain=4, repeats=3, batch_chunk=Non
     return E / per_step, per_step
 
 
+_BASELINE_CACHE = "BASELINE_LOCAL.json"  # committed XLA-baseline measurement
+
+
+def _load_baseline_cache(backend):
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        _BASELINE_CACHE)
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        return data.get(backend)
+    except Exception:
+        return None
+
+
+def _store_baseline_cache(backend, edges_per_s, per_step):
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        _BASELINE_CACHE)
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except Exception:
+        data = {}
+    data[backend] = {"edges_per_s": edges_per_s, "per_step": per_step,
+                     "measured_at": time.strftime("%Y-%m-%d")}
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
+
+
 def main():
     import jax
     import os as _os
@@ -110,7 +142,7 @@ def main():
     try:  # persistent XLA/Mosaic compile cache (compiles are minutes here)
         import jax as _jax
 
-        _cache = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), 
+        _cache = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                                ".jax_cache")
         _jax.config.update("jax_compilation_cache_dir", _cache)
     except Exception:
@@ -122,24 +154,47 @@ def main():
     V, R = 15000, 474
     E = triplets.shape[0]
 
+    # headline FIRST: the Pallas measurement prints its JSON line before any
+    # baseline re-measurement can eat the caller's time budget (round 1's
+    # bench timed out re-measuring the chained-XLA baseline uncached)
     impl = "pallas" if on_tpu else "xla"
     edges_per_s, per_step = bench_impl(impl, triplets, rel, x, V, R)
 
-    # baseline: XLA segment-op implementation on the same backend
-    base_edges_per_s, base_step = bench_impl(
-        "xla", triplets, rel, x, V, R, chain=2, repeats=2, batch_chunk=16
-    )
+    cached = _load_baseline_cache(backend)
+    refresh = "--refresh-baseline" in sys.argv or cached is None
+    if refresh and on_tpu and cached is not None:
+        # a stored measurement exists: print the headline now, refresh after
+        pass
+    base_edges_per_s = cached["edges_per_s"] if cached else None
+    base_step = cached["per_step"] if cached else None
 
-    result = {
-        "metric": f"rspmm_fwd_bwd_edges_per_s_{impl}_{backend}",
-        "value": round(edges_per_s, 1),
-        "unit": "edges/s",
-        "vs_baseline": round(edges_per_s / base_edges_per_s, 3),
-    }
-    print(json.dumps(result))
+    def emit(base_eps):
+        result = {
+            "metric": f"rspmm_fwd_bwd_edges_per_s_{impl}_{backend}",
+            "value": round(edges_per_s, 1),
+            "unit": "edges/s",
+            "vs_baseline": round(edges_per_s / base_eps, 3) if base_eps else None,
+        }
+        print(json.dumps(result), flush=True)
+
+    if cached:
+        emit(base_edges_per_s)
+    if refresh:
+        # baseline: XLA segment-op implementation of the same op (what
+        # torch_scatter-style segment ops give you), B-chunked to fit HBM
+        base_edges_per_s, base_step = bench_impl(
+            "xla", triplets, rel, x, V, R, chain=2, repeats=2, batch_chunk=16
+        )
+        _store_baseline_cache(backend, base_edges_per_s, base_step)
+        if not cached:
+            emit(base_edges_per_s)
+        else:
+            print(f"# refreshed baseline: {base_edges_per_s:.0f} edges/s",
+                  file=sys.stderr)
     print(
         f"# impl={impl} backend={backend} E={E} F=4096 "
-        f"fwd+bwd={per_step*1e3:.2f}ms (xla baseline {base_step*1e3:.2f}ms); "
+        f"fwd+bwd={per_step*1e3:.2f}ms (xla baseline "
+        f"{(base_step or 0)*1e3:.2f}ms); "
         f"HBM gather-bound estimate {3*E*4096*4/819e9*1e3:.1f}ms",
         file=sys.stderr,
     )

@@ -104,9 +104,12 @@ def _relation_input(params, cfg: ConvConfig, query, rel_injected):
     return rel
 
 
-def _rotate_messages_aggregate(graph, rel, x, agg_is_max_min: str):
+def _rotate_messages_aggregate(graph, rel, x, agg: str):
     """O(E) rotate path: complex multiplication messages + segment reduce.
-    rel: [R, D] or [R, B, D]; x: [V, B, D]."""
+    rel: [R, D] or [R, B, D]; x: [V, B, D]. agg "sq_add" reduces
+    sum(msg^2 * w) — the PNA second moment over the ROTATE messages (the
+    reference's dense fallback computes scatter(message**2 * edge_weight),
+    layer.py:285; squaring the operands first would be wrong for rotate)."""
     src, dst = graph.edge_index[:, 0], graph.edge_index[:, 1]
     x_e = x[src]  # [E, B, D]
     rel_e = rel[graph.edge_type]
@@ -116,11 +119,14 @@ def _rotate_messages_aggregate(graph, rel, x, agg_is_max_min: str):
     xr, xi = x_e[..., :d], x_e[..., d:]
     rr, ri = rel_e[..., :d], rel_e[..., d:]
     m = jnp.concatenate([xr * rr - xi * ri, xr * ri + xi * rr], axis=-1)
-    m = m * graph.edge_weight[:, None, None]
-    if agg_is_max_min == "max":
+    w = graph.edge_weight[:, None, None]
+    if agg == "sq_add":
+        return jax.ops.segment_sum(m * m * w, dst, num_segments=graph.num_nodes)
+    m = m * w
+    if agg == "max":
         out = jax.ops.segment_max(m, dst, num_segments=graph.num_nodes)
         return jnp.where(jnp.isfinite(out), out, jnp.zeros_like(out))
-    if agg_is_max_min == "min":
+    if agg == "min":
         out = jax.ops.segment_min(m, dst, num_segments=graph.num_nodes)
         return jnp.where(jnp.isfinite(out), out, jnp.zeros_like(out))
     return jax.ops.segment_sum(m, dst, num_segments=graph.num_nodes)
@@ -158,7 +164,7 @@ def conv_apply(
 
     def _spmm_raw(relation, xx, agg):
         if cfg.message_func == "rotate":
-            assert agg in ("add", "max", "min")
+            assert agg in ("add", "max", "min", "sq_add")
             return _rotate_messages_aggregate(graph, relation, xx, agg)
         msg = {"transe": "add", "distmult": "mul"}[cfg.message_func]
         if cfg.edge_axis and agg == "add" and not edge_grad:
@@ -208,7 +214,10 @@ def conv_apply(
             update = jnp.maximum(update, boundary)
     elif base == "pna":
         s = spmm(rel, x, "add")
-        sq = spmm(rel**2, x**2, "add")
+        if cfg.message_func == "rotate":
+            sq = spmm(rel, x, "sq_add")
+        else:
+            sq = spmm(rel**2, x**2, "add")
         mx = spmm(rel, x, "max")
         mn = spmm(rel, x, "min")
         if bounded:
