@@ -156,6 +156,43 @@ def _make_rspmm_add(msg: str, num_nodes: int, impl: str, compute_dtype: str = "f
     return rspmm
 
 
+@lru_cache(maxsize=None)
+def _make_rspmm_minmax(msg: str, agg: str, num_nodes: int):
+    """custom-VJP rspmm for AGG in {max, min} through the Pallas kernels:
+    forward saves the extremum; backward is one fused argext pass producing
+    both gradients (the structure of the reference CUDA kernel's backward,
+    /root/reference README:40-52). Gradient flows to every tied edge."""
+
+    def fwd_impl(edge_weight, relation, x, layouts):
+        from .rspmm_pallas import rspmm_fwd_pallas
+
+        return rspmm_fwd_pallas(
+            layouts, edge_weight, relation, x, msg=msg, num_nodes=num_nodes,
+            agg=agg,
+        )
+
+    @jax.custom_vjp
+    def rspmm(edge_weight, relation, x, layouts):
+        return fwd_impl(edge_weight, relation, x, layouts)
+
+    def rspmm_fwd(edge_weight, relation, x, layouts):
+        out = fwd_impl(edge_weight, relation, x, layouts)
+        return out, (edge_weight, relation, x, out, layouts)
+
+    def rspmm_bwd(res, g):
+        edge_weight, relation, x, out, layouts = res
+        from .rspmm_pallas import rspmm_bwd_pallas_minmax
+
+        dr, dx = rspmm_bwd_pallas_minmax(
+            layouts, edge_weight, relation, x, out, g, msg=msg
+        )
+        dlay = None if layouts is None else _zeros_cotangent(layouts)
+        return jnp.zeros_like(edge_weight), dr, dx, dlay
+
+    rspmm.defvjp(rspmm_fwd, rspmm_bwd)
+    return rspmm
+
+
 def generalized_rspmm(
     edge_index,
     edge_type,
@@ -176,8 +213,8 @@ def generalized_rspmm(
     Args:
       msg: "mul" (distmult) or "add" (transe).
       agg: "add", "max" or "min".
-      impl: "xla" (segment ops) or "pallas" (fused TPU kernels; AGG='add'
-        only — other aggregations fall back to XLA).
+      impl: "xla" (segment ops) or "pallas" (fused TPU kernels for all three
+        aggregations; max/min carry an argext custom VJP).
       layouts: ops.csr.RspmmLayouts for this edge set (required for pallas).
       edge_grad: use the plain autodiff path so gradients flow to
         ``edge_weight`` (path interpretability; O(E) message materialization
@@ -193,6 +230,10 @@ def generalized_rspmm(
     if agg == "add" and not edge_grad:
         fn = _make_rspmm_add(msg, int(num_nodes), impl, compute_dtype)
         return fn(edge_index, edge_type, edge_weight, relation, x, layouts)
+    if (agg in ("max", "min") and not edge_grad and impl == "pallas"
+            and layouts is not None):
+        fn = _make_rspmm_minmax(msg, agg, int(num_nodes))
+        return fn(edge_weight, relation, x, layouts)
     return _rspmm_xla(
         edge_index, edge_type, edge_weight, relation, x,
         msg=msg, agg=agg, num_nodes=int(num_nodes),

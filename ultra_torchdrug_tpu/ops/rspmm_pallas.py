@@ -1,4 +1,4 @@
-"""Pallas TPU kernels for the generalized relational SpMM (sum aggregation).
+"""Pallas TPU kernels for the generalized relational SpMM (sum/max/min).
 
 TPU-native replacement for the reference's CUDA rspmm kernel
 (/root/reference README "compiled kernels", called at ultra/layer.py:134-178):
@@ -40,6 +40,19 @@ NBUF = 16  # per-edge DMA lookahead depth (two-gather template)
 GROUP = 8  # row DMAs per shared semaphore (grouped-wait templates)
 NGRP = 4   # groups in flight
 _LANE = 128
+# identity element magnitude for max/min aggregation: rows that never receive
+# a real edge keep +-_BIG and are masked to 0 after the kernel (the XLA
+# oracle's empty-row convention). Real weight-0 edges still contribute 0,
+# matching segment_max over weight-premultiplied messages.
+_BIG = 3.0e38
+
+
+def _agg_neutral(agg: str) -> float:
+    return {"add": 0.0, "max": -_BIG, "min": _BIG}[agg]
+
+
+def _agg_combine(agg: str):
+    return {"add": jnp.add, "max": jnp.maximum, "min": jnp.minimum}[agg]
 
 
 def _interpret_default() -> bool:
@@ -63,7 +76,8 @@ def _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c, slot):
 
 
 def _kernel_one_gather(
-    cr_ref, meta_hbm, w_hbm, data_hbm, *rest, mode: str, num_chunks: int
+    cr_ref, meta_hbm, w_hbm, data_hbm, *rest, mode: str, num_chunks: int,
+    agg: str = "add",
 ):
     if mode == "none":
         out_ref, mbuf, wbuf, msems, wsems, xbuf, sems = rest
@@ -73,10 +87,12 @@ def _kernel_one_gather(
     c = pl.program_id(0)
     slot = jax.lax.rem(c, 2)
     nxt = jax.lax.rem(c + 1, 2)
+    neutral = _agg_neutral(agg)
+    combine = _agg_combine(agg)
 
     @pl.when(cr_ref[0, c] != cr_ref[1, c])
     def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        out_ref[...] = jnp.full_like(out_ref, neutral)
 
     # chunk 0: blocking fetch of its own metadata
     @pl.when(c == 0)
@@ -146,25 +162,29 @@ def _kernel_one_gather(
             else:  # none
                 msg = xrow
             msg = msg.astype(jnp.float32) * w
+            if agg != "add":
+                # padding edges must be the aggregation identity, not 0
+                msg = jnp.where(mbuf[slot, 3, i] != 0, msg, neutral)
             d = mbuf[slot, 2, i]
             flush = d != d_prev
 
             @pl.when(flush)
             def _(d_prev=d_prev, acc=acc):
-                out_ref[pl.ds(d_prev, 1)] = (
-                    out_ref[pl.ds(d_prev, 1)] + acc[None]
+                out_ref[pl.ds(d_prev, 1)] = combine(
+                    out_ref[pl.ds(d_prev, 1)], acc[None]
                 )
 
-            acc = jnp.where(flush, msg, acc + msg)
+            acc = jnp.where(flush, msg, combine(acc, msg))
             d_prev = d
         return d_prev, acc
 
     # row_local of padding chunks is 0, so a dummy previous row of 0 with a
-    # zero accumulator is always safe
+    # neutral accumulator is always safe
     d_last, acc_last = jax.lax.fori_loop(
-        0, ngroups, body, (0, jnp.zeros(out_ref.shape[1:], jnp.float32))
+        0, ngroups, body,
+        (0, jnp.full(out_ref.shape[1:], neutral, jnp.float32)),
     )
-    out_ref[pl.ds(d_last, 1)] = out_ref[pl.ds(d_last, 1)] + acc_last[None]
+    out_ref[pl.ds(d_last, 1)] = combine(out_ref[pl.ds(d_last, 1)], acc_last[None])
 
 
 # ---------------------------------------------------------------------------
@@ -175,7 +195,8 @@ def _kernel_one_gather(
 
 
 def _kernel_one_gather_vmem(
-    cr_ref, meta_hbm, w_hbm, data_ref, *rest, mode: str, num_chunks: int
+    cr_ref, meta_hbm, w_hbm, data_ref, *rest, mode: str, num_chunks: int,
+    agg: str = "add",
 ):
     if mode == "none":
         out_ref, mbuf, wbuf, msems, wsems = rest
@@ -185,10 +206,12 @@ def _kernel_one_gather_vmem(
     c = pl.program_id(0)
     slot = jax.lax.rem(c, 2)
     nxt = jax.lax.rem(c + 1, 2)
+    neutral = _agg_neutral(agg)
+    combine = _agg_combine(agg)
 
     @pl.when(cr_ref[0, c] != cr_ref[1, c])
     def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        out_ref[...] = jnp.full_like(out_ref, neutral)
 
     @pl.when(c == 0)
     def _():
@@ -219,22 +242,24 @@ def _kernel_one_gather_vmem(
         else:
             msg = xrow
         msg = msg.astype(jnp.float32) * w
+        if agg != "add":
+            msg = jnp.where(mbuf[slot, 3, i] != 0, msg, neutral)
         d = mbuf[slot, 2, i]
         flush = d != d_prev
 
         @pl.when(flush)
         def _():
-            out_ref[pl.ds(d_prev, 1)] = (
-                out_ref[pl.ds(d_prev, 1)] + acc[None]
+            out_ref[pl.ds(d_prev, 1)] = combine(
+                out_ref[pl.ds(d_prev, 1)], acc[None]
             )
 
-        acc = jnp.where(flush, msg, acc + msg)
+        acc = jnp.where(flush, msg, combine(acc, msg))
         return d, acc
 
     d_last, acc_last = jax.lax.fori_loop(
-        0, te, body, (0, jnp.zeros(out_ref.shape[1:], jnp.float32))
+        0, te, body, (0, jnp.full(out_ref.shape[1:], neutral, jnp.float32))
     )
-    out_ref[pl.ds(d_last, 1)] = out_ref[pl.ds(d_last, 1)] + acc_last[None]
+    out_ref[pl.ds(d_last, 1)] = combine(out_ref[pl.ds(d_last, 1)], acc_last[None])
 
 
 def _kernel_bwd_fused_vmem(
@@ -413,6 +438,188 @@ def _kernel_bwd_fused(
 
 
 # ---------------------------------------------------------------------------
+# kernel template D: argext backward for max/min aggregation. Same structure
+# as the fused add backward (src-sorted layout, x rows arrive as the output
+# block), but each edge gathers a PACKED [2, ft, 128] row: the upstream
+# gradient g[dst] and the saved forward extremum out[dst] ride one DMA. An
+# edge receives gradient only on the feature lanes where its own recomputed
+# message equals the extremum (the reference CUDA kernel's argext backward,
+# /root/reference README "compiled kernels"; ties all receive gradient).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_bwd_minmax(
+    cr_ref, meta_hbm, w_hbm, go_hbm, rel_ref, x_ref, dx_ref, dr_ref,
+    mbuf, wbuf, msems, wsems, gbuf, sems, *, mode: str, num_chunks: int
+):
+    """meta rows: (0: dst index into go, 1: etype, 2: src row_local, 3: valid).
+    mode 'mul': msg = w*rel[r]*x; sel lanes get dx += rel*g*w, dr += x*g*w.
+    mode 'add': msg = w*(rel[r]+x); sel lanes get dx += g*w, dr += g*w."""
+    c = pl.program_id(0)
+    slot = jax.lax.rem(c, 2)
+    nxt = jax.lax.rem(c + 1, 2)
+
+    @pl.when(cr_ref[0, c] != cr_ref[1, c])
+    def _():
+        dx_ref[...] = jnp.zeros_like(dx_ref)
+
+    @pl.when(c == 0)
+    def _():
+        dr_ref[...] = jnp.zeros_like(dr_ref)
+        md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, 0, 0)
+        md.start()
+        wd.start()
+
+    md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c, slot)
+    md.wait()
+    wd.wait()
+
+    @pl.when(c + 1 < num_chunks)
+    def _():
+        md2, wd2 = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c + 1, nxt)
+        md2.start()
+        wd2.start()
+
+    te = mbuf.shape[-1]
+    ngroups = te // GROUP
+
+    def start_group(g):
+        gslot = jax.lax.rem(g, NGRP)
+        for j in range(GROUP):
+            pltpu.make_async_copy(
+                go_hbm.at[mbuf[slot, 0, g * GROUP + j]],
+                gbuf.at[gslot * GROUP + j],
+                sems.at[gslot],
+            ).start()
+
+    def wait_group(g):
+        gslot = jax.lax.rem(g, NGRP)
+        pltpu.make_async_copy(
+            gbuf.at[pl.ds(gslot * GROUP, GROUP)],
+            gbuf.at[pl.ds(gslot * GROUP, GROUP)],
+            sems.at[gslot],
+        ).wait()
+
+    for g in range(NGRP):
+        start_group(g)
+
+    def body(g, carry):
+        d_prev, dx_acc, x_row = carry
+        gslot = jax.lax.rem(g, NGRP)
+        wait_group(g)
+
+        @pl.when(g + NGRP < ngroups)
+        def _():
+            start_group(g + NGRP)
+
+        for j in range(GROUP):
+            i = g * GROUP + j
+            grow = gbuf[gslot * GROUP + j, 0]
+            orow = gbuf[gslot * GROUP + j, 1]
+            w = wbuf[slot, 0, i]
+            r = mbuf[slot, 1, i]
+            d = mbuf[slot, 2, i]
+            flush = d != d_prev
+
+            @pl.when(flush)
+            def _(d_prev=d_prev, dx_acc=dx_acc):
+                dx_ref[pl.ds(d_prev, 1)] = (
+                    dx_ref[pl.ds(d_prev, 1)] + dx_acc[None]
+                )
+
+            x_row = jnp.where(flush, x_ref[d], x_row)
+            if mode == "mul":
+                msg = (rel_ref[r] * x_row).astype(jnp.float32) * w
+            else:
+                msg = (rel_ref[r] + x_row).astype(jnp.float32) * w
+            sel = (msg == orow).astype(jnp.float32)
+            gw = grow * (w * sel)
+            if mode == "mul":
+                dx_msg = rel_ref[r] * gw
+                dr_msg = x_row * gw
+            else:
+                dx_msg = gw
+                dr_msg = gw
+            dx_acc = jnp.where(flush, dx_msg, dx_acc + dx_msg)
+            dr_ref[pl.ds(r, 1)] = dr_ref[pl.ds(r, 1)] + dr_msg[None]
+            d_prev = d
+        return d_prev, dx_acc, x_row
+
+    zrow = jnp.zeros(dx_ref.shape[1:], jnp.float32)
+    d_last, dx_last, _ = jax.lax.fori_loop(0, ngroups, body, (-1, zrow, zrow))
+    dx_ref[pl.ds(d_last, 1)] = dx_ref[pl.ds(d_last, 1)] + dx_last[None]
+
+
+def _kernel_bwd_minmax_vmem(
+    cr_ref, meta_hbm, w_hbm, go_ref, rel_ref, x_ref, dx_ref, dr_ref,
+    mbuf, wbuf, msems, wsems, *, mode: str, num_chunks: int
+):
+    """VMEM-resident go variant (small graphs / relation graphs)."""
+    c = pl.program_id(0)
+    slot = jax.lax.rem(c, 2)
+    nxt = jax.lax.rem(c + 1, 2)
+
+    @pl.when(cr_ref[0, c] != cr_ref[1, c])
+    def _():
+        dx_ref[...] = jnp.zeros_like(dx_ref)
+
+    @pl.when(c == 0)
+    def _():
+        dr_ref[...] = jnp.zeros_like(dr_ref)
+        md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, 0, 0)
+        md.start()
+        wd.start()
+
+    md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c, slot)
+    md.wait()
+    wd.wait()
+
+    @pl.when(c + 1 < num_chunks)
+    def _():
+        md2, wd2 = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c + 1, nxt)
+        md2.start()
+        wd2.start()
+
+    te = mbuf.shape[-1]
+
+    def body(i, carry):
+        d_prev, dx_acc, x_row = carry
+        grow = go_ref[mbuf[slot, 0, i], 0]
+        orow = go_ref[mbuf[slot, 0, i], 1]
+        w = wbuf[slot, 0, i]
+        r = mbuf[slot, 1, i]
+        d = mbuf[slot, 2, i]
+        flush = d != d_prev
+
+        @pl.when(flush)
+        def _():
+            dx_ref[pl.ds(d_prev, 1)] = (
+                dx_ref[pl.ds(d_prev, 1)] + dx_acc[None]
+            )
+
+        x_row = jnp.where(flush, x_ref[d].astype(jnp.float32), x_row)
+        if mode == "mul":
+            msg = (rel_ref[r] * x_row).astype(jnp.float32) * w
+        else:
+            msg = (rel_ref[r] + x_row).astype(jnp.float32) * w
+        sel = (msg == orow).astype(jnp.float32)
+        gw = grow.astype(jnp.float32) * (w * sel)
+        if mode == "mul":
+            dx_msg = rel_ref[r] * gw
+            dr_msg = x_row * gw
+        else:
+            dx_msg = gw
+            dr_msg = gw
+        dx_acc = jnp.where(flush, dx_msg, dx_acc + dx_msg)
+        dr_ref[pl.ds(r, 1)] = dr_ref[pl.ds(r, 1)] + dr_msg[None]
+        return d, dx_acc, x_row
+
+    zrow = jnp.zeros(dx_ref.shape[1:], jnp.float32)
+    d_last, dx_last, _ = jax.lax.fori_loop(0, te, body, (-1, zrow, zrow))
+    dx_ref[pl.ds(d_last, 1)] = dx_ref[pl.ds(d_last, 1)] + dx_last[None]
+
+
+# ---------------------------------------------------------------------------
 # callers
 # ---------------------------------------------------------------------------
 
@@ -428,10 +635,13 @@ def _feature_tiles(F_pad: int, rel_rows: int, layout: CsrLayout) -> int:
 
 
 def _pack_meta(layout: CsrLayout, index_chunks, second):
-    """[C, 4, TE] int32: (gather index, aux/second index, row offset, pad) —
-    4 rows because i32 HBM slices must align to the sublane tiling."""
+    """[C, 4, TE] int32: (gather index, aux/second index, row offset, valid).
+    4 rows because i32 HBM slices must align to the sublane tiling; the valid
+    flag distinguishes alignment padding from real weight-0 edges (max/min
+    aggregation must treat padding as identity but weight-0 edges as 0)."""
     return jnp.stack(
-        [index_chunks, second, layout.row_local, layout.row_local], axis=1
+        [index_chunks, second, layout.row_local,
+         layout.valid.astype(jnp.int32)], axis=1
     )
 
 
@@ -444,11 +654,16 @@ def rspmm_gather1(
     mode: str,
     interpret: Optional[bool] = None,
     compute_dtype=jnp.float32,
+    agg: str = "add",
 ) -> jnp.ndarray:
     """Template-A reduction. data: [Vin, F]; relation: [R, F] or None.
     Returns [padded_rows, F] float32 (accumulation is always f32;
-    compute_dtype=bf16 halves gather bytes and message VPU work)."""
+    compute_dtype=bf16 halves gather bytes and message VPU work).
+    agg max/min rows with no valid edges come back +-_BIG — callers mask
+    them to 0 after combining any hot/cold splits."""
     interpret = _interpret_default() if interpret is None else interpret
+    if agg != "add":
+        compute_dtype = jnp.float32  # backward equality needs exact replay
     data = data.astype(compute_dtype)
     if relation is not None:
         relation = relation.astype(compute_dtype)
@@ -475,13 +690,15 @@ def rspmm_gather1(
     data_vmem = (v_pad + rel_rows + 2 * tv + 16) * tf * 4 <= _VMEM_DATA_BUDGET
     if data_vmem:
         kernel = functools.partial(
-            _kernel_one_gather_vmem, mode=mode, num_chunks=layout.num_chunks
+            _kernel_one_gather_vmem, mode=mode, num_chunks=layout.num_chunks,
+            agg=agg,
         )
         if v_pad != V:
             data = jnp.pad(data, ((0, v_pad - V), (0, 0)))
     else:
         kernel = functools.partial(
-            _kernel_one_gather, mode=mode, num_chunks=layout.num_chunks
+            _kernel_one_gather, mode=mode, num_chunks=layout.num_chunks,
+            agg=agg,
         )
     pieces = []
     for f0 in range(0, F_pad, tf):
@@ -667,6 +884,139 @@ def rspmm_bwd_fused(
     return dx[:, :F], dr[:, :F]
 
 
+def rspmm_bwd_minmax(
+    x_flat: jnp.ndarray,
+    g_flat: jnp.ndarray,
+    out_flat: jnp.ndarray,
+    relation_flat: jnp.ndarray,
+    w_chunks: jnp.ndarray,
+    layout: CsrLayout,
+    mode: str,
+    interpret: Optional[bool] = None,
+):
+    """Argext backward for max/min aggregation over the src-sorted layout.
+    out_flat is the saved forward extremum (post empty-row masking — masked
+    rows have no incident edges, so no edge can match them). f32 only: the
+    per-lane equality between the recomputed message and the stored extremum
+    must reproduce the forward bit-for-bit.
+    Returns (dx [padded_rows, F], dr [R_pad, F])."""
+    interpret = _interpret_default() if interpret is None else interpret
+    x_flat = x_flat.astype(jnp.float32)
+    g_flat = g_flat.astype(jnp.float32)
+    out_flat = out_flat.astype(jnp.float32)
+    relation_flat = relation_flat.astype(jnp.float32)
+    V, F = x_flat.shape
+    F_pad = _pad_lane(F)
+    te, tv = layout.tile_edges, layout.tile_rows
+    if F_pad != F:
+        x_flat = jnp.pad(x_flat, ((0, 0), (0, F_pad - F)))
+        g_flat = jnp.pad(g_flat, ((0, 0), (0, F_pad - F)))
+        out_flat = jnp.pad(out_flat, ((0, 0), (0, F_pad - F)))
+        relation_flat = jnp.pad(relation_flat, ((0, 0), (0, F_pad - F)))
+    r_pad = -(-relation_flat.shape[0] // 8) * 8
+    if r_pad != relation_flat.shape[0]:
+        relation_flat = jnp.pad(
+            relation_flat, ((0, r_pad - relation_flat.shape[0]), (0, 0))
+        )
+    if x_flat.shape[0] < layout.padded_rows:
+        x_flat = jnp.pad(x_flat, ((0, layout.padded_rows - x_flat.shape[0]), (0, 0)))
+
+    budget = 48 * 1024 * 1024 // 4
+    per_f = 2 * r_pad + 4 * tv + 2 * NBUF + 8
+    tf = min(F_pad, max(_LANE, (budget // per_f) // _LANE * _LANE))
+
+    meta = _pack_meta(layout, layout.gather1, layout.aux)
+    w3 = w_chunks[:, None, :]
+    Vg = g_flat.shape[0]
+    vg_pad = -(-Vg // 8) * 8
+    g_vmem = (2 * vg_pad + 2 * r_pad + 4 * tv + 16) * tf * 4 <= _VMEM_DATA_BUDGET
+    if g_vmem:
+        kernel = functools.partial(
+            _kernel_bwd_minmax_vmem, mode=mode, num_chunks=layout.num_chunks
+        )
+        if vg_pad != Vg:
+            g_flat = jnp.pad(g_flat, ((0, vg_pad - Vg), (0, 0)))
+            out_flat = jnp.pad(out_flat, ((0, vg_pad - Vg), (0, 0)))
+    else:
+        kernel = functools.partial(
+            _kernel_bwd_minmax, mode=mode, num_chunks=layout.num_chunks
+        )
+    dx_pieces, dr_pieces = [], []
+    for f0 in range(0, F_pad, tf):
+        fw = min(tf, F_pad - f0)
+        ft = fw // _LANE
+        # pack g and the forward extremum side by side: one DMA per edge
+        go = jnp.stack(
+            [g_flat[:, f0 : f0 + fw].reshape(-1, ft, _LANE),
+             out_flat[: g_flat.shape[0], f0 : f0 + fw].reshape(-1, ft, _LANE)],
+            axis=1,
+        )  # [Vg(_pad), 2, ft, LANE]
+        if g_vmem:
+            go_spec = pl.BlockSpec((vg_pad, 2, ft, _LANE),
+                                   lambda c, cr: (0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+            scratch = [
+                pltpu.SMEM((2, 4, te), jnp.int32),
+                pltpu.SMEM((2, 1, te), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        else:
+            go_spec = pl.BlockSpec(memory_space=pl.ANY)
+            scratch = [
+                pltpu.SMEM((2, 4, te), jnp.int32),
+                pltpu.SMEM((2, 1, te), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((NGRP * GROUP, 2, ft, _LANE), jnp.float32),
+                pltpu.SemaphoreType.DMA((NGRP,)),
+            ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(layout.num_chunks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # meta
+                pl.BlockSpec(memory_space=pl.ANY),  # weights
+                go_spec,
+                pl.BlockSpec((r_pad, ft, _LANE), lambda c, cr: (0, 0, 0),
+                             memory_space=pltpu.VMEM),  # relation
+                pl.BlockSpec((tv, ft, _LANE), lambda c, cr: (cr[0, c], 0, 0),
+                             memory_space=pltpu.VMEM),  # x row-tile block
+            ],
+            out_specs=(
+                pl.BlockSpec((tv, ft, _LANE), lambda c, cr: (cr[0, c], 0, 0),
+                             memory_space=pltpu.VMEM),  # dx
+                pl.BlockSpec((r_pad, ft, _LANE), lambda c, cr: (0, 0, 0),
+                             memory_space=pltpu.VMEM),  # dr accumulator
+            ),
+            scratch_shapes=scratch,
+        )
+        dx_p, dr_p = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((layout.padded_rows, ft, _LANE), jnp.float32),
+                jax.ShapeDtypeStruct((r_pad, ft, _LANE), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            layout.cr_pairs,
+            meta,
+            w3,
+            go,
+            relation_flat[:, f0 : f0 + fw].reshape(r_pad, ft, _LANE),
+            x_flat[:, f0 : f0 + fw].reshape(layout.padded_rows, ft, _LANE),
+        )
+        dx_pieces.append(dx_p.reshape(layout.padded_rows, fw))
+        dr_pieces.append(dr_p.reshape(r_pad, fw))
+    dx = dx_pieces[0] if len(dx_pieces) == 1 else jnp.concatenate(dx_pieces, 1)
+    dr = dr_pieces[0] if len(dr_pieces) == 1 else jnp.concatenate(dr_pieces, 1)
+    return dx[:, :F], dr[:, :F]
+
+
 # ---------------------------------------------------------------------------
 # high-level entry points (flattened [*, F] views of [V, B, D] operands)
 # ---------------------------------------------------------------------------
@@ -688,7 +1038,7 @@ def _weight_chunks(edge_weight, layout: CsrLayout):
 
 
 def rspmm_fwd_pallas(layouts, edge_weight, relation, x, *, msg, num_nodes,
-                     compute_dtype=jnp.float32):
+                     compute_dtype=jnp.float32, agg: str = "add"):
     B = x.shape[1]
     x_flat = _flat(x)
     rel_flat = _rel_flat(relation, B)
@@ -701,6 +1051,7 @@ def rspmm_fwd_pallas(layouts, edge_weight, relation, x, *, msg, num_nodes,
         layouts.fwd.gather1,
         mode=mode,
         compute_dtype=compute_dtype,
+        agg=agg,
     )
     if layouts.fwd_hot is not None:
         # hot-source edges: their x rows form a small VMEM-resident table
@@ -714,8 +1065,13 @@ def rspmm_fwd_pallas(layouts, edge_weight, relation, x, *, msg, num_nodes,
             layouts.fwd_hot.gather1,
             mode=mode,
             compute_dtype=compute_dtype,
+            agg=agg,
         )
-        out = out + out_hot
+        out = _agg_combine(agg)(out, out_hot)
+    if agg == "max":
+        out = jnp.where(out <= -_BIG / 2, 0.0, out)
+    elif agg == "min":
+        out = jnp.where(out >= _BIG / 2, 0.0, out)
     return out[:num_nodes].reshape(num_nodes, *x.shape[1:])
 
 
@@ -765,6 +1121,37 @@ def rspmm_bwd_pallas(layouts, edge_weight, relation, x, g, *, msg,
             _weight_chunks(edge_weight, layouts.rel),
             layouts.rel, layouts.rel.gather2, mode="none",
         )
+    R = relation.shape[0]
+    dr = dr_flat[:R].reshape(R, *x.shape[1:])
+    if relation.ndim == 2:  # shared relation: sum over batch
+        dr = dr.sum(axis=1)
+    return dr, dx
+
+
+def rspmm_bwd_pallas_minmax(layouts, edge_weight, relation, x, out, g, *, msg):
+    """Argext backward for max/min aggregation: one fused pass over the
+    src-sorted layout(s) yields (d_relation, d_input). `out` is the saved
+    forward result [V, B, D]."""
+    B = x.shape[1]
+    g_flat = _flat(g)
+    out_flat = _flat(out)
+    rel_flat = _rel_flat(relation, B)
+    mode = "mul" if msg == "mul" else "add"
+    dx_flat, dr_flat = rspmm_bwd_minmax(
+        _flat(x), g_flat, out_flat, rel_flat,
+        _weight_chunks(edge_weight, layouts.rev),
+        layouts.rev, mode=mode,
+    )
+    if layouts.rev_hot is not None:
+        dx_h, dr_h = rspmm_bwd_minmax(
+            _flat(x), g_flat[layouts.rev_hot_ids],
+            out_flat[layouts.rev_hot_ids], rel_flat,
+            _weight_chunks(edge_weight, layouts.rev_hot),
+            layouts.rev_hot, mode=mode,
+        )
+        dx_flat = dx_flat + dx_h
+        dr_flat = dr_flat + dr_h
+    dx = dx_flat[: x.shape[0]].reshape(x.shape)
     R = relation.shape[0]
     dr = dr_flat[:R].reshape(R, *x.shape[1:])
     if relation.ndim == 2:  # shared relation: sum over batch
