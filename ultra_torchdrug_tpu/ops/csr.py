@@ -139,14 +139,17 @@ def _finalize_layout(
     # for million-edge graphs (Cp x 128 x 4 bytes)
     cr_pairs = np.stack([cr, np.concatenate([[-1], cr[:-1]])], 0).astype(np.int32)
 
+    # NOTE: arrays stay host-side numpy here; build_rspmm_layouts ships the
+    # finished pytree to the device in ONE pass at the end (device round-trips
+    # during construction cost minutes on remote-TPU tunnels)
     return CsrLayout(
-        gather1=jnp.asarray(to_chunks(g1)),
-        gather2=jnp.asarray(to_chunks(g2)),
-        aux=jnp.asarray(to_chunks(aux)),
-        row_local=jnp.asarray(to_chunks(row_local)),
-        edge_id=jnp.asarray(to_chunks(edge_id)),
-        valid=jnp.asarray(to_chunks(valid, 0.0)),
-        cr_pairs=jnp.asarray(cr_pairs),
+        gather1=to_chunks(g1),
+        gather2=to_chunks(g2),
+        aux=to_chunks(aux),
+        row_local=to_chunks(row_local),
+        edge_id=to_chunks(edge_id),
+        valid=to_chunks(valid, 0.0),
+        cr_pairs=cr_pairs,
         tile_rows=tile_rows,
         tile_edges=tile_edges,
         num_row_tiles=num_row_tiles,
@@ -181,7 +184,7 @@ def _remap_edge_id(layout: CsrLayout, orig_ids: np.ndarray) -> CsrLayout:
     """Layouts built over an edge SUBSET carry subset-relative edge_id; remap
     to the original edge array so per-batch weight gathers stay global."""
     remapped = np.asarray(orig_ids, np.int32)[np.asarray(layout.edge_id)]
-    return dataclasses.replace(layout, edge_id=jnp.asarray(remapped))
+    return dataclasses.replace(layout, edge_id=remapped)
 
 
 def build_rspmm_layouts(
@@ -229,7 +232,6 @@ def build_rspmm_layouts(
                          tile_rows=tile_rows, tile_edges=tile_edges),
             hot_idx,
         )
-        hot_ids = jnp.asarray(hot_ids)
     else:
         fwd = build_layout(dst, src, edge_type, num_nodes,
                            tile_rows=tile_rows, tile_edges=tile_edges)
@@ -254,11 +256,11 @@ def build_rspmm_layouts(
                          num_nodes, tile_rows=tile_rows, tile_edges=tile_edges),
             hot_d,
         )
-        rev_hot_ids = jnp.asarray(rh_ids)
+        rev_hot_ids = rh_ids
     else:
         rev = build_layout(src, dst, edge_type, num_nodes,
                            tile_rows=tile_rows, tile_edges=tile_edges)
-    return RspmmLayouts(
+    layouts = RspmmLayouts(
         fwd=fwd,
         rev=rev,
         rel=rel_layout,
@@ -267,3 +269,6 @@ def build_rspmm_layouts(
         rev_hot=rev_hot,
         rev_hot_ids=rev_hot_ids,
     )
+    # single host->device shipment of the whole pytree (leaves were kept
+    # numpy throughout construction; no intermediate device round-trips)
+    return jax.device_put(layouts)
