@@ -29,6 +29,10 @@ def initialize_distributed(
         num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
     if num_processes <= 1:
         return False
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        # CPU cross-process collectives need the gloo transport (the TPU
+        # path rides ICI/DCN natively); must be set before initialize()
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
