@@ -48,10 +48,15 @@ def test_parse_args(tmp_path):
 
 def test_load_file_orders(tmp_path):
     f = tmp_path / "t.txt"
-    f.write_text("a r1 b\nb r2 c\n")
+    f.write_text("a\tr1\tb\nb\tr2\tc\n")
     v = Vocab()
-    tri = _load_file(str(f), v, "hrt")
+    tri = _load_file(str(f), v, "hrt")  # default: tab-separated (tsv families)
     assert tri.tolist() == [[0, 1, 0], [1, 2, 1]]
+    fs = tmp_path / "ts.txt"
+    fs.write_text("a r1 b\nb r2 c\n")
+    vs = Vocab()
+    tri_s = _load_file(str(fs), vs, "hrt", sep=None)  # four-file families
+    assert tri_s.tolist() == [[0, 1, 0], [1, 2, 1]]
     f2 = tmp_path / "t2.txt"
     f2.write_text("a\tb\tr1\n")
     v2 = Vocab()

@@ -94,18 +94,22 @@ class Vocab:
 
 
 def _load_file(
-    path: str, vocab: Vocab, order: str = "hrt", grow: bool = True
+    path: str, vocab: Vocab, order: str = "hrt", grow: bool = True,
+    sep: Optional[str] = "\t",
 ) -> np.ndarray:
     """Parse one triple file into [N, 3] (h, t, r) int32 rows.
 
     order: column order in the file — "hrt" (most datasets) or "htr"
     (DBpedia50k/SparserKG). grow=False drops rows with unseen tokens
-    (MTDEA limit_vocab semantics)."""
+    (MTDEA limit_vocab semantics). sep: "\\t" for the tsv families (the
+    reference uses csv.reader(delimiter="\\t"), so entity names may contain
+    spaces — dataset.py:345, :1149); None = any-whitespace split (the
+    ILPC/InGram/MTDEA/BM load_file families use line.split(), :259, :795)."""
     triples = []
     with open(path, encoding="utf-8") as f:
         for line in f:
-            tokens = line.split()
-            if not tokens:
+            tokens = line.rstrip("\r\n").split(sep)
+            if not tokens or len(tokens) < 3:
                 continue
             if order == "hrt":
                 h_tok, r_tok, t_tok = tokens[:3]
@@ -337,12 +341,17 @@ def _load_grail(
     t_train = _load_file(trans_files[0], tv, "hrt")
     t_valid = _load_file(trans_files[1], tv, "hrt")
     t_test = _load_file(trans_files[2], tv, "hrt")
+    R = len(tv.rel)
     iv.rel = tv.rel  # inductive relations must exist in the transductive vocab
     i_train = _load_file(ind_files[0], iv, "hrt")
     i_valid = _load_file(ind_files[1], iv, "hrt")
     i_test = _load_file(ind_files[2], iv, "hrt")
+    if len(tv.rel) != R:  # reference asserts r in vocab (dataset.py:379)
+        raise ValueError(
+            f"inductive files introduced {len(tv.rel) - R} relations absent "
+            f"from the transductive graph"
+        )
 
-    R = len(tv.rel)
     train_graph = Graph.from_triplets(t_train, len(tv.ent), R)
     test_graph = Graph.from_triplets(i_train, len(iv.ent), R)
     valid_graph = test_graph if use_inductive_valid else train_graph
@@ -401,12 +410,12 @@ def _load_four_file_inductive(
     limit_valid_vocab: bool = False,
 ) -> InductiveDataset:
     tv, iv = Vocab(), Vocab()
-    train = _load_file(train_file, tv, "hrt")
-    inference = _load_file(inference_file, iv, "hrt")
+    train = _load_file(train_file, tv, "hrt", sep=None)
+    inference = _load_file(inference_file, iv, "hrt", sep=None)
     if valid_vocab == "inference":
         # ILPC (:224-247) / InGram (:762-790): valid extends the inference vocab
-        valid = _load_file(valid_file, iv, "hrt")
-        test = _load_file(test_file, iv, "hrt")
+        valid = _load_file(valid_file, iv, "hrt", sep=None)
+        test = _load_file(test_file, iv, "hrt", sep=None)
         train_graph = Graph.from_triplets(train, len(tv.ent), len(tv.rel))
         inf_graph = Graph.from_triplets(inference, len(iv.ent), len(iv.rel))
         return InductiveDataset(
@@ -424,8 +433,8 @@ def _load_four_file_inductive(
         )
     # MTDEA (:916-948) / Hamaguchi (:1069-1100): valid lives on the TRAIN graph
     n_train_ent = len(tv.ent)
-    valid = _load_file(valid_file, tv, "hrt", grow=not limit_valid_vocab)
-    test = _load_file(test_file, iv, "hrt")
+    valid = _load_file(valid_file, tv, "hrt", grow=not limit_valid_vocab, sep=None)
+    test = _load_file(test_file, iv, "hrt", sep=None)
     train_graph = Graph.from_triplets(train, n_train_ent, len(tv.rel))
     valid_graph = Graph.from_triplets(train, len(tv.ent), len(tv.rel))
     test_graph = Graph.from_triplets(inference, len(iv.ent), len(iv.rel))
@@ -491,7 +500,7 @@ register("WKIngram")(partial(_ingram, "wk", "WK"))
 register("NLIngram")(partial(_ingram, "nl", "NL"))
 
 
-def _mtdea(name, folder, prefix, versions=None, limit_vocab=False):
+def _mtdea(name, folder, prefix, versions=None):
     @register(name)
     def build(path=_DEFAULT_PATH, version=None, **_):
         pre = prefix % version if (versions and version is not None) else prefix
@@ -505,13 +514,13 @@ def _mtdea(name, folder, prefix, versions=None, limit_vocab=False):
             os.path.join(root, f"{pre}-trans/valid.txt"),
             os.path.join(root, f"{pre}-ind/test.txt"),
             valid_vocab="train",
-            limit_valid_vocab=limit_vocab,
+            limit_valid_vocab=True,  # always for MTDEA (ref dataset.py:920-923)
         )
 
     return build
 
 
-_mtdea("FBNELL", "FBNELL", "FBNELL_v1", limit_vocab=True)
+_mtdea("FBNELL", "FBNELL", "FBNELL_v1")
 _mtdea("Metafam", "Metafam", "Metafam")
 _mtdea("WikiTopicsMT1", "WikiTopics-MT1", "wikidata_%sv1", ["mt", "health", "tax"])
 _mtdea("WikiTopicsMT2", "WikiTopics-MT2", "wikidata_%sv1", ["mt2", "org", "sci"])
