@@ -193,6 +193,177 @@ def test_round_robin_gather_realigns():
         np.testing.assert_array_equal(out, vals)
 
 
+@pytest.mark.parametrize("msg", ["mul", "add"])
+def test_partitioned_rspmm_pallas(rng, msg):
+    """Production multi-chip path: destination/source row-block partitioned
+    Pallas kernels (interpret mode on the CPU mesh) — no full-tensor psum.
+    Forward and both gradients match the unsharded XLA op."""
+    from ultra_torchdrug_tpu.parallel.sharded_rspmm import (
+        build_partitioned_rspmm_inputs, partitioned_rspmm_pallas,
+    )
+
+    mesh = make_mesh(data=1, edge=8)
+    V, E, R, B, D = 21, 150, 5, 2, 4
+    tri = np.stack([
+        rng.integers(0, V, E), rng.integers(0, V, E), rng.integers(0, R, E)
+    ], 1).astype(np.int32)
+    w = jnp.asarray(rng.uniform(0.5, 1.5, E).astype(np.float32))
+    rel = jnp.asarray(rng.normal(size=(R, B, D)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(V, B, D)).astype(np.float32))
+
+    layouts = build_partitioned_rspmm_inputs(
+        tri[:, :2], tri[:, 2], V, R, 8, tile_rows=8, tile_edges=16,
+        include_rel_layout=(msg == "add"),
+    )
+
+    def loss_ref(rel, x, ww):
+        out = generalized_rspmm(
+            jnp.asarray(tri[:, :2]), jnp.asarray(tri[:, 2]), ww,
+            rel, x, msg=msg, agg="add", num_nodes=V,
+        )
+        return jnp.sum(out * jnp.sin(out)), out
+
+    def loss_pt(rel, x, ww):
+        out = partitioned_rspmm_pallas(
+            ww, layouts, rel, x, msg=msg, mesh=mesh,
+        )
+        return jnp.sum(out * jnp.sin(out)), out
+
+    (_, out_ref), (_, out_pt) = loss_ref(rel, x, w), loss_pt(rel, x, w)
+    np.testing.assert_allclose(np.asarray(out_pt), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+    g_ref = jax.grad(lambda r, xx: loss_ref(r, xx, w)[0], argnums=(0, 1))(rel, x)
+    g_pt = jax.jit(jax.grad(lambda r, xx: loss_pt(r, xx, w)[0], argnums=(0, 1)))(rel, x)
+    for a, b in zip(g_ref, g_pt):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_partitioned_rspmm_dynamic_weights(rng):
+    """Per-batch edge weights (easy-edge masking) flow through the replicated
+    [E] weight vector + global edge_id re-gather — masked edges contribute
+    nothing on every shard."""
+    from ultra_torchdrug_tpu.parallel.sharded_rspmm import (
+        build_partitioned_rspmm_inputs, partitioned_rspmm_pallas,
+    )
+
+    mesh = make_mesh(data=1, edge=8)
+    V, E, R, B, D = 17, 120, 4, 2, 4
+    tri = np.stack([
+        rng.integers(0, V, E), rng.integers(0, V, E), rng.integers(0, R, E)
+    ], 1).astype(np.int32)
+    mask = (rng.uniform(size=E) > 0.3).astype(np.float32)
+    rel = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(V, B, D)).astype(np.float32))
+    layouts = build_partitioned_rspmm_inputs(
+        tri[:, :2], tri[:, 2], V, R, 8, tile_rows=8, tile_edges=16,
+    )
+    want = generalized_rspmm(
+        jnp.asarray(tri[:, :2]), jnp.asarray(tri[:, 2]), jnp.asarray(mask),
+        rel, x, msg="mul", agg="add", num_nodes=V,
+    )
+    got = partitioned_rspmm_pallas(
+        jnp.asarray(mask), layouts, rel, x, msg="mul", mesh=mesh,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ultra_train_step_partitioned_pallas(rng):
+    """Full ULTRA train-score + grads with rspmm_impl='pallas' and edge_axis:
+    the conv routes through partitioned_rspmm_pallas (graph.part_layouts) and
+    matches the unsharded XLA result."""
+    mesh = make_mesh(data=1, edge=4)
+    g = padded_graph(rng, V=18, E=64, R=3, pad_to=8)
+    rg_raw = build_relation_graph(g)
+    pad = (-rg_raw.num_edges) % 4
+    tri = np.concatenate(
+        [np.asarray(rg_raw.edge_list), np.zeros((pad, 3), np.int32)], 0
+    ) if pad else np.asarray(rg_raw.edge_list)
+    wts = np.concatenate(
+        [np.asarray(rg_raw.edge_weight), np.zeros(pad, np.float32)]
+    ) if pad else np.asarray(rg_raw.edge_weight)
+    rg = Graph.from_triplets(tri, rg_raw.num_nodes, 4, edge_weight=wts)
+
+    def cfgs(axis, impl):
+        return UltraConfig(
+            entity=entity_nbfnet_config(
+                input_dim=8, hidden_dims=(8, 8), num_relations=g.num_relations * 2,
+                edge_axis=axis, rspmm_impl=impl,
+            ),
+            relation=rel_nbfnet_config(
+                input_dim=8, hidden=8, num_layers=2, edge_axis=axis,
+                rspmm_impl=impl,
+            ),
+        )
+
+    params = ultra_init(jax.random.PRNGKey(0), cfgs("", "xla"))
+    B, N = 3, 5
+    el = np.asarray(g.edge_list)
+    pos = el[rng.choice(len(el), B, replace=False)]
+    h, t, r = (jnp.asarray(pos[:, i]) for i in range(3))
+    neg = jnp.asarray(rng.integers(0, g.num_nodes, (B, N)).astype(np.int32))
+
+    # graphs with sharded layouts attached (what the task layer prepares:
+    # the UNDIRECTED propagation graph carries the layouts — the model reuses
+    # its topology and substitutes per-batch masked weights)
+    g_und = g.undirected_with_inverse() \
+             .prepare_pallas(tile_rows=8, tile_edges=16, hot_rows=0) \
+             .prepare_pallas_sharded(4, tile_rows=8, tile_edges=16)
+    rg_sh = rg.prepare_pallas(tile_rows=8, tile_edges=16, hot_rows=0) \
+              .prepare_pallas_sharded(4, tile_rows=8, tile_edges=16)
+
+    # guard against a silent XLA fallback: count partitioned-path calls
+    import importlib
+
+    sr = importlib.import_module(
+        "ultra_torchdrug_tpu.parallel.sharded_rspmm"
+    )
+    calls = {"n": 0}
+    real = sr.partitioned_rspmm_pallas
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    sr.partitioned_rspmm_pallas = counting
+    try:
+        plain = ultra_train_scores(params, cfgs("", "xla"), g, rg, h, t, r, neg)
+        with use_mesh(mesh):
+            sharded = jax.jit(
+                lambda p: ultra_train_scores(
+                    p, cfgs("edge", "pallas"), g, rg_sh, h, t, r, neg,
+                    fact_graph_und=g_und,
+                )
+            )(params)
+    finally:
+        sr.partitioned_rspmm_pallas = real
+    assert calls["n"] > 0, "partitioned Pallas path was never taken"
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(plain), rtol=1e-4, atol=1e-5
+    )
+
+    def loss_plain(p):
+        return bce_self_adversarial(
+            ultra_train_scores(p, cfgs("", "xla"), g, rg, h, t, r, neg)
+        )
+
+    def loss_sharded(p):
+        return bce_self_adversarial(
+            ultra_train_scores(
+                p, cfgs("edge", "pallas"), g, rg_sh, h, t, r, neg,
+                fact_graph_und=g_und,
+            )
+        )
+
+    gp = jax.grad(loss_plain)(params)
+    with use_mesh(mesh):
+        gs = jax.jit(jax.grad(loss_sharded))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
 def test_sharded_rspmm_pallas_per_shard(rng):
     """North-star path: fused Pallas kernels per edge shard (interpret mode on
     the CPU mesh) + psum — forward and gradients match the unsharded op."""

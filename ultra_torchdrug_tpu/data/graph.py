@@ -48,6 +48,9 @@ class Graph:
     # optional precomputed CSR layouts for the Pallas rspmm kernels; a pure
     # function of topology (ops/csr.py), so weight-only transforms keep it
     layouts: object = None
+    # optional per-shard layouts for the edge-partitioned multi-chip path
+    # (parallel/sharded_rspmm.py::PartitionedRspmmLayouts); topology-pure too
+    part_layouts: object = None
 
     # ---- constructors -----------------------------------------------------
 
@@ -217,6 +220,31 @@ class Graph:
             hot_rows=hot_rows,
         )
         return dataclasses.replace(self, layouts=layouts)
+
+    def prepare_pallas_sharded(
+        self,
+        n_shards: int,
+        tile_rows: int = 256,
+        tile_edges: int = 256,
+        include_rel_layout: bool = False,
+    ) -> "Graph":
+        """Attach per-shard CSR layouts for the edge-partitioned multi-chip
+        Pallas path (destination/source row-block partitioning — see
+        parallel/sharded_rspmm.py). Composable with prepare_pallas (the
+        single-chip layouts serve ops outside the sharded conv)."""
+        from ..parallel.sharded_rspmm import build_partitioned_rspmm_inputs
+
+        part = build_partitioned_rspmm_inputs(
+            self.host_edge_index(),
+            self.host_edge_type(),
+            self.num_nodes,
+            max(self.num_relations, 1),
+            n_shards,
+            tile_rows=tile_rows,
+            tile_edges=tile_edges,
+            include_rel_layout=include_rel_layout,
+        )
+        return dataclasses.replace(self, part_layouts=part)
 
     def sorted_by_tail(self) -> "Graph":
         """Reorder edges so targets are ascending — the CSR layout the Pallas

@@ -169,14 +169,23 @@ def conv_apply(
         msg = {"transe": "add", "distmult": "mul"}[cfg.message_func]
         if cfg.edge_axis and agg == "add" and not edge_grad:
             from ..parallel.mesh import current_mesh
-            from ..parallel.sharded_rspmm import sharded_rspmm
+            from ..parallel.sharded_rspmm import (
+                partitioned_rspmm_pallas,
+                sharded_rspmm,
+            )
 
             mesh = current_mesh()
             if mesh is not None and cfg.edge_axis in mesh.axis_names:
+                if (cfg.rspmm_impl == "pallas"
+                        and graph.part_layouts is not None):
+                    return partitioned_rspmm_pallas(
+                        graph.edge_weight, graph.part_layouts, relation, xx,
+                        msg=msg, mesh=mesh, axis=cfg.edge_axis,
+                    )
                 return sharded_rspmm(
                     graph.edge_index, graph.edge_type, graph.edge_weight,
                     relation, xx, msg=msg, num_nodes=graph.num_nodes,
-                    mesh=mesh, axis=cfg.edge_axis, impl=cfg.rspmm_impl,
+                    mesh=mesh, axis=cfg.edge_axis,
                 )
         return generalized_rspmm(
             graph.edge_index,

@@ -180,6 +180,41 @@ class RspmmLayouts:
     rev_hot_ids: object = None  # int32 [K] dst node ids for the backward
 
 
+def pad_layout_chunks(layout: CsrLayout, num_chunks: int) -> CsrLayout:
+    """Pad a (host-side numpy) layout to `num_chunks` chunks with all-padding
+    chunks (valid=0, cr pair equal so no tile re-zeroing, contributing
+    nothing). Used to equalize static shapes across per-shard layouts so they
+    stack along a leading shard axis."""
+    C = layout.num_chunks
+    if num_chunks == C:
+        return layout
+    assert num_chunks > C, (num_chunks, C)
+    pad = num_chunks - C
+
+    def padchunks(a, fill=0):
+        a = np.asarray(a)
+        return np.concatenate(
+            [a, np.full((pad, a.shape[1]), fill, a.dtype)], axis=0
+        )
+
+    cr = np.asarray(layout.cr_pairs)
+    last = int(cr[0, -1]) if cr.shape[1] else 0
+    cr2 = np.concatenate(
+        [cr, np.full((2, pad), last, np.int32)], axis=1
+    ).astype(np.int32)
+    return dataclasses.replace(
+        layout,
+        gather1=padchunks(layout.gather1),
+        gather2=padchunks(layout.gather2),
+        aux=padchunks(layout.aux),
+        row_local=padchunks(layout.row_local),
+        edge_id=padchunks(layout.edge_id),
+        valid=padchunks(layout.valid, 0.0),
+        cr_pairs=cr2,
+        num_chunks=num_chunks,
+    )
+
+
 def _remap_edge_id(layout: CsrLayout, orig_ids: np.ndarray) -> CsrLayout:
     """Layouts built over an edge SUBSET carry subset-relative edge_id; remap
     to the original edge array so per-batch weight gathers stay global."""

@@ -16,6 +16,7 @@ available to validate it.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import lru_cache
 
 import jax
@@ -27,7 +28,7 @@ from ..ops.rspmm import _rspmm_xla
 
 
 @lru_cache(maxsize=None)
-def _make_sharded_rspmm(msg: str, num_nodes: int, mesh: Mesh, axis: str, impl: str):
+def _make_sharded_rspmm(msg: str, num_nodes: int, mesh: Mesh, axis: str):
     """Edge-sharded rspmm with custom VJP; cached for stable jit identity."""
     espec = P(axis)
     rep = P()
@@ -94,20 +95,215 @@ def _make_sharded_rspmm(msg: str, num_nodes: int, mesh: Mesh, axis: str, impl: s
 
 def sharded_rspmm(
     edge_index, edge_type, edge_weight, relation, x,
-    *, msg: str, num_nodes: int, mesh: Mesh, axis: str = "edge", impl: str = "xla",
+    *, msg: str, num_nodes: int, mesh: Mesh, axis: str = "edge",
 ):
-    """AGG='add' edge-partitioned rspmm. Edge arrays must be divisible by the
-    edge-axis size (pad with weight-0 edges)."""
-    fn = _make_sharded_rspmm(msg, int(num_nodes), mesh, axis, impl)
+    """AGG='add' edge-partitioned rspmm, XLA segment-op body. Edge arrays must
+    be divisible by the edge-axis size (pad with weight-0 edges). The Pallas
+    production path is ``partitioned_rspmm_pallas`` (destination/source
+    row-block partitioning, no full-tensor all-reduce)."""
+    fn = _make_sharded_rspmm(msg, int(num_nodes), mesh, axis)
     return fn(edge_index, edge_type, edge_weight, relation, x)
 
 
 # ---------------------------------------------------------------------------
-# Pallas-per-shard variant: each chip runs the fused rspmm kernels over its
-# OWN edge shard (with its own CSR layouts), then partials are psum'd. This is
-# the production multi-chip path: local gathers ride HBM, the only collective
-# is the [V, B, D] all-reduce over ICI.
+# Partitioned Pallas path: the production multi-chip design.
+#
+# Edges are partitioned by OUTPUT row block — destination blocks for the
+# forward, source blocks for d_input — so each chip's kernel writes ONLY its
+# own [V/n, B, D] block and no cross-chip reduction of node states is needed
+# at all: the output is returned row-sharded (out_specs=P(axis)) and XLA
+# all-gathers it lazily exactly where a consumer needs replicated rows.
+# Compared to the naive edge-split + psum (2·V·B·D bytes/chip per op), this
+# moves at most V·B·D bytes/chip (the all-gather half of an all-reduce) and
+# skips even that when the consumer can use the sharded rows directly.
+# Gathers stay local-HBM reads of the replicated x/g; the only true
+# collective is a small [R, B·D] psum for d_relation. See
+# parallel/DESIGN.md for the overlap/boundary-exchange roadmap.
 # ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PartitionedRspmmLayouts:
+    """Per-shard CSR layouts, stacked along a leading shard axis.
+
+    fwd: CsrLayout stack [n, ...] — rows = dst - s·v_block (block-local),
+         gather1 = global src into replicated x
+    rev: CsrLayout stack — rows = src - s·v_block, gather1 = global dst into
+         replicated g (the fused backward produces dx block + dr partial)
+    rel: optional CsrLayout stack (transe d_relation; rows = etype)
+    edge_id in every layout is GLOBAL, so per-batch edge weights stay one
+    replicated [E] array re-gathered at call time (no sharded weight copies).
+    """
+
+    fwd: object
+    rev: object
+    rel: object = None
+    v_block: int = dataclasses.field(default=0, metadata=dict(static=True))
+    n_shards: int = dataclasses.field(default=1, metadata=dict(static=True))
+    num_nodes: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+
+def build_partitioned_rspmm_inputs(
+    edge_index,
+    edge_type,
+    num_nodes: int,
+    num_relations: int,
+    n_shards: int,
+    tile_rows: int = 256,
+    tile_edges: int = 256,
+    include_rel_layout: bool = False,
+) -> PartitionedRspmmLayouts:
+    """Host-side build of the per-shard layouts (one device_put at the end).
+
+    Shard s owns output rows [s·v_block, (s+1)·v_block): forward layouts over
+    edges whose dst lands in the block, reverse layouts over edges whose src
+    does. Per-family chunk counts are padded to the max across shards so the
+    stacks have uniform static shapes.
+    """
+    import numpy as np
+
+    from ..ops.csr import _remap_edge_id, build_layout, pad_layout_chunks
+
+    ei = np.asarray(edge_index)
+    et = np.asarray(edge_type)
+    src, dst = ei[:, 0], ei[:, 1]
+    v_block = -(-num_nodes // n_shards)
+
+    def family(row_key, gather_key, rows, rel_family=False):
+        shards = []
+        for s in range(n_shards):
+            sel = np.nonzero(row_key // v_block == s)[0].astype(np.int32)
+            if rel_family:
+                lay = build_layout(
+                    et[sel], src[sel], np.zeros(len(sel), np.int32),
+                    num_relations, gather2_ids=dst[sel],
+                    tile_rows=min(tile_rows, max(8, -(-num_relations // 8) * 8)),
+                    tile_edges=tile_edges,
+                )
+            else:
+                lay = build_layout(
+                    row_key[sel] - s * v_block, gather_key[sel], et[sel],
+                    rows, tile_rows=tile_rows, tile_edges=tile_edges,
+                )
+            if len(sel):
+                lay = _remap_edge_id(lay, sel)
+            shards.append(lay)
+        cmax = max(l.num_chunks for l in shards)
+        shards = [pad_layout_chunks(l, cmax) for l in shards]
+        return jax.tree_util.tree_map(lambda *ls: np.stack(ls), *shards)
+
+    fwd = family(dst, src, v_block)
+    rev = family(src, dst, v_block)
+    rel = family(src, dst, v_block, rel_family=True) if include_rel_layout else None
+    return jax.device_put(
+        PartitionedRspmmLayouts(
+            fwd=fwd, rev=rev, rel=rel,
+            v_block=v_block, n_shards=n_shards, num_nodes=int(num_nodes),
+        )
+    )
+
+
+@lru_cache(maxsize=None)
+def _make_partitioned_rspmm_pallas(
+    msg: str, num_nodes: int, v_block: int, n_shards: int, mesh: Mesh, axis: str
+):
+    from ..ops.csr import RspmmLayouts
+    from ..ops.rspmm_pallas import rspmm_bwd_pallas, rspmm_fwd_pallas
+
+    espec = P(axis)
+    rep = P()
+    v_pad = v_block * n_shards
+
+    def _pad_rows(arr):
+        if arr.shape[0] == v_pad:
+            return arr
+        return jnp.concatenate(
+            [arr, jnp.zeros((v_pad - arr.shape[0],) + arr.shape[1:], arr.dtype)], 0
+        )
+
+    def local_fwd(edge_weight, fwd_lay, relation, x):
+        sq = jax.tree_util.tree_map(lambda a: a[0], fwd_lay)
+        lay = RspmmLayouts(fwd=sq, rev=None)
+        return rspmm_fwd_pallas(
+            lay, edge_weight, relation, x, msg=msg, num_nodes=v_block
+        )
+
+    fwd_sm = shard_map(
+        local_fwd, mesh=mesh, in_specs=(rep, espec, rep, rep),
+        out_specs=espec, check_vma=False,
+    )
+
+    def local_bwd(edge_weight, rev_lay, rel_lay, relation, x_pad, g):
+        s = jax.lax.axis_index(axis)
+        x_local = jax.lax.dynamic_slice_in_dim(x_pad, s * v_block, v_block, 0)
+        sq_rev = jax.tree_util.tree_map(lambda a: a[0], rev_lay)
+        sq_rel = (
+            None if rel_lay is None
+            else jax.tree_util.tree_map(lambda a: a[0], rel_lay)
+        )
+        lay = RspmmLayouts(fwd=None, rev=sq_rev, rel=sq_rel)
+        dr, dx_local = rspmm_bwd_pallas(
+            lay, edge_weight, relation, x_local, g, msg=msg
+        )
+        return jax.lax.psum(dr, axis), dx_local
+
+    bwd_sm = shard_map(
+        local_bwd, mesh=mesh, in_specs=(rep, espec, espec, rep, rep, rep),
+        out_specs=(rep, espec), check_vma=False,
+    )
+
+    @jax.custom_vjp
+    def rspmm(edge_weight, layouts, relation, x):
+        out = fwd_sm(edge_weight, layouts.fwd, relation, x)
+        return out[:num_nodes]
+
+    def vjp_fwd(edge_weight, layouts, relation, x):
+        return rspmm(edge_weight, layouts, relation, x), (
+            edge_weight, layouts, relation, x,
+        )
+
+    def vjp_bwd(res, g):
+        edge_weight, layouts, relation, x = res
+        dr, dx_pad = bwd_sm(
+            edge_weight, layouts.rev, layouts.rel, relation, _pad_rows(x), g
+        )
+        dx = dx_pad[: x.shape[0]]
+
+        def zeros(leaf):
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                return jnp.zeros_like(leaf)
+            return jnp.zeros(leaf.shape, dtype=jax.dtypes.float0)
+
+        return (
+            jnp.zeros_like(edge_weight),
+            jax.tree_util.tree_map(zeros, layouts),
+            dr,
+            dx,
+        )
+
+    rspmm.defvjp(vjp_fwd, vjp_bwd)
+    return rspmm
+
+
+def partitioned_rspmm_pallas(
+    edge_weight,
+    layouts: PartitionedRspmmLayouts,
+    relation,
+    x,
+    *,
+    msg: str,
+    mesh: Mesh,
+    axis: str = "edge",
+):
+    """AGG='add' rspmm through the fused Pallas kernels with destination/
+    source row-block edge partitioning (see module banner). edge_weight is
+    the replicated [E] per-batch weight vector; relation/x replicated; the
+    output is returned row-sharded along `axis`."""
+    fn = _make_partitioned_rspmm_pallas(
+        msg, layouts.num_nodes, layouts.v_block, layouts.n_shards, mesh, axis
+    )
+    return fn(edge_weight, layouts, relation, x)
 
 
 def build_sharded_rspmm_inputs(

@@ -146,6 +146,20 @@ class _TaskBase:
                       or self.model_cfg.relation.message_func == "transe")
             und = und.prepare_pallas(include_rel_layout=transe)
             rel_graph = rel_graph.prepare_pallas(include_rel_layout=transe)
+            edge_axis = self.model_cfg.entity.edge_axis
+            if edge_axis:
+                from ..parallel.mesh import current_mesh
+
+                mesh = current_mesh()
+                if mesh is not None and edge_axis in mesh.axis_names:
+                    n = mesh.shape[edge_axis]
+                    und = und.prepare_pallas_sharded(
+                        n, include_rel_layout=transe
+                    )
+                    if self.model_cfg.relation.edge_axis:
+                        rel_graph = rel_graph.prepare_pallas_sharded(
+                            n, include_rel_layout=transe
+                        )
         return und, rel_graph
 
     # -- builders ----------------------------------------------------------
