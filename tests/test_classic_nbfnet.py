@@ -6,6 +6,7 @@ import numpy as np
 
 from ultra_torchdrug_tpu.data.graph import Graph
 from ultra_torchdrug_tpu.models.classic_nbfnet import (
+    beam_search_paths,
     classic_nbfnet_config,
     classic_nbfnet_init,
     classic_score_all,
@@ -74,5 +75,29 @@ def test_edge_gradients_and_visualize():
         # connected path ending at the target
         assert path[-1][1] == 3
         assert path[0][0] == 0
+        for (u1, v1, _), (u2, _, _) in zip(path, path[1:]):
+            assert v1 == u2
+
+
+def test_beam_search_scales_to_100k_edges():
+    """The tensorized beam must handle FB15k237-scale edge counts in seconds
+    (the reference's device beam, model.py:416-470) — wall-clock bounded."""
+    import time
+
+    rng = np.random.default_rng(0)
+    V, E, R, L = 8000, 120000, 7, 4
+    tri = np.stack([
+        rng.integers(0, V, E), rng.integers(0, V, E), rng.integers(0, R, E)
+    ], 1).astype(np.int32)
+    g = Graph.from_triplets(tri, V, R).undirected_with_inverse()
+    grads = [rng.normal(size=g.num_edges).astype(np.float32) * 0.01
+             for _ in range(L)]
+    t0 = time.time()
+    paths, weights = beam_search_paths(g, grads, 0, 5, num_beam=10, path_topk=10)
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"beam search too slow: {elapsed:.1f}s"
+    assert len(paths) == 10
+    for path, w in zip(paths, weights):
+        assert path[-1][1] == 5 and np.isfinite(w)
         for (u1, v1, _), (u2, _, _) in zip(path, path[1:]):
             assert v1 == u2

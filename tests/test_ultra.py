@@ -53,6 +53,29 @@ def test_eval_scores_shapes_and_determinism(rng):
     assert np.isfinite(np.asarray(t1)).all() and np.isfinite(np.asarray(h1)).all()
 
 
+def test_score_chunking_matches_unchunked(rng):
+    """score_chunk (the large-graph eval escape hatch) changes only memory
+    behavior: chunked scoring over a V not divisible by the chunk equals the
+    single-pass result exactly."""
+    import dataclasses
+
+    g = tiny_kg(rng, V=23)  # 23 % 8 != 0: exercises the pad path
+    rg = build_relation_graph(g)
+    cfg = small_cfg(g.num_relations)
+    cfg_chunked = dataclasses.replace(
+        cfg, entity=dataclasses.replace(cfg.entity, score_chunk=8)
+    )
+    params = ultra_init(jax.random.PRNGKey(0), cfg)
+    B = 4
+    h = jnp.asarray(rng.integers(0, g.num_nodes, B).astype(np.int32))
+    t = jnp.asarray(rng.integers(0, g.num_nodes, B).astype(np.int32))
+    r = jnp.asarray(rng.integers(0, g.num_relations, B).astype(np.int32))
+    t1, h1 = ultra_eval_scores(params, cfg, g, rg, h, t, r)
+    t2, h2 = ultra_eval_scores(params, cfg_chunked, g, rg, h, t, r)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h1), rtol=1e-6)
+
+
 def test_train_scores_match_eval_when_no_easy_removal(rng):
     """Without easy-edge masking, the train-batch scores must equal gathering
     the all-entity eval scores at the candidate indices (tail rows against

@@ -54,6 +54,7 @@ def build_model_config(cfg_task: dict, num_relations: int, rspmm_impl: str = "au
         rspmm_impl=impl,
         remat=m.get("remat", cfg_task.get("remat", False)),
         compute_dtype=str(m.get("compute_dtype", "float32")),
+        score_chunk=int(m.get("score_chunk", cfg_task.get("score_chunk", 0))),
     )
     rel_models_cfg = cfg_task.get("rel_models", {})
     rm = rel_models_cfg.get("rel_model", {})

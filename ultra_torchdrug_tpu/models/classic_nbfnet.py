@@ -133,50 +133,57 @@ def beam_search_paths(
     num_beam: int = 10,
     path_topk: int = 10,
 ) -> Tuple[List[List[Tuple[int, int, int]]], List[float]]:
-    """Top-k paths by cumulative edge gradient — host-side numpy beam search
-    with the reference's semantics (model.py:416-493): distances accumulate
-    per-layer edge gradients; edges leaving the target are excluded; paths are
-    ranked by average gradient per hop."""
+    """Top-k paths by cumulative edge gradient — device-side tensorized beam
+    with the reference's semantics (model.py:416-470): per layer, every edge
+    broadcasts its source's beam distances plus its own gradient; candidates
+    dedup equal-distance beam slots (first occurrence wins, :431-436); each
+    node keeps its per-segment top-`num_beam` via variadic_topk (:455); edges
+    leaving the target are excluded (:425). All static-shape segment ops —
+    O(E·num_beam) on device per layer, no python per-edge loops — so it runs
+    at FB15k237 scale (544k undirected edges) in seconds."""
+    from ..ops.variadic import variadic_topk
+
     el = np.asarray(graph_und.edge_list)
     num_nodes = graph_und.num_nodes
     num_layers = len(edge_grads)
     NEG = float("-inf")
 
-    dist = np.full((num_nodes, num_beam), NEG)
-    dist[h_index, 0] = 0.0
+    # static topology prep: edges sorted by destination so per-node candidate
+    # groups are contiguous for the variadic top-k
+    order = np.argsort(el[:, 1], kind="stable")
+    el_s = el[order]
+    src_s = jnp.asarray(el_s[:, 0])
+    sizes = jnp.asarray(
+        np.bincount(el_s[:, 1], minlength=num_nodes).astype(np.int32) * num_beam
+    )
+    order_j = jnp.asarray(order.astype(np.int32))
+    el_j = jnp.asarray(el_s.astype(np.int32))
+    exclude = (el_s[:, 0] == t_index)[:, None]  # don't leave the target
+
+    @jax.jit
+    def beam_step(dist, grad):
+        msg = dist[src_s] + grad[order_j][:, None]  # [E, k]
+        msg = jnp.where(jnp.asarray(exclude), NEG, msg)
+        # beam rows are sorted descending, so equal-distance duplicates are
+        # adjacent: keep the first occurrence per edge (model.py:431-436)
+        first = jnp.concatenate(
+            [jnp.ones((msg.shape[0], 1), bool), msg[:, 1:] != msg[:, :-1]], 1
+        )
+        msg = jnp.where(first, msg, NEG)
+        vals, idx = variadic_topk(msg.reshape(-1), sizes, num_beam)
+        vals = jnp.where(sizes[:, None] > 0, vals, NEG)  # isolated nodes
+        e, b = idx // num_beam, idx % num_beam
+        back = jnp.concatenate([el_j[e], b[..., None].astype(jnp.int32)], -1)
+        back = jnp.where(jnp.isfinite(vals)[..., None], back, -1)
+        return vals, back
+
+    dist = jnp.full((num_nodes, num_beam), NEG)
+    dist = dist.at[h_index, 0].set(0.0)
     distances, back_edges = [], []
     for step in range(num_layers):
-        grad = np.asarray(edge_grads[step])
-        new_dist = np.full((num_nodes, num_beam), NEG)
-        new_back = np.full((num_nodes, num_beam, 4), -1, np.int64)
-        # candidate messages per target node
-        cand = {}
-        for e, (u, v, r) in enumerate(el):
-            if u == t_index:  # don't leave the target (model.py:425)
-                continue
-            for b in range(num_beam):
-                if dist[u, b] == NEG:
-                    continue
-                msg = dist[u, b] + grad[e]
-                cand.setdefault(v, []).append((msg, (int(u), int(v), int(r), b)))
-        for v, entries in cand.items():
-            # deduplicate identical (edge, prev-beam) entries, keep best
-            entries.sort(key=lambda t: -t[0])
-            seen = set()
-            kept = []
-            for msg, src in entries:
-                if src in seen:
-                    continue
-                seen.add(src)
-                kept.append((msg, src))
-                if len(kept) == num_beam:
-                    break
-            for b, (msg, src) in enumerate(kept):
-                new_dist[v, b] = msg
-                new_back[v, b] = src
-        distances.append(new_dist)
-        back_edges.append(new_back)
-        dist = new_dist
+        dist, back = beam_step(dist, jnp.asarray(edge_grads[step]))
+        distances.append(np.asarray(dist))
+        back_edges.append(np.asarray(back))
 
     paths, avg_lengths = [], []
     for i in range(num_layers):

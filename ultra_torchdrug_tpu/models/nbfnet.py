@@ -61,6 +61,13 @@ class NBFNetConfig:
     #                     (+1x [V,B,D] saved per layer, -1 kernel pass)
     remat: object = False
     compute_dtype: str = "float32"  # pallas message math dtype (bf16 opt-in)
+    # all-entity scoring tail: 0 = one [V, B, 2D] feature + MLP pass; N > 0 =
+    # sequential lax.map over N-row entity chunks, bounding the scoring
+    # intermediates to [N, B, *] (the reference's candidate chunking,
+    # /root/reference/ultra/task.py:602-618, re-expressed for a
+    # propagate-once-score-all design). Large-graph escape hatch
+    # (ATOMIC/ConceptNet-scale V); no effect on results.
+    score_chunk: int = 0
 
     def layer_configs(self):
         dims = [self.input_dim] + list(self.hidden_dims)
@@ -271,6 +278,7 @@ def entity_nbfnet_config(
         edge_axis=kw.get("edge_axis", ""),
         remat=kw.get("remat", False),
         compute_dtype=kw.get("compute_dtype", "float32"),
+        score_chunk=int(kw.get("score_chunk", 0)),
     )
 
 
@@ -346,7 +354,30 @@ def entity_nbfnet_score_all(
             hiddens.append(h)
             x = h
         final = jnp.concatenate(hiddens, -1) if cfg.concat_hidden else hiddens[-1]
-    node_query = jnp.broadcast_to(query[None, :, :], (V, B, cfg.input_dim))
-    feature = jnp.concatenate([final, node_query], axis=-1)  # [V, B, F]
-    score = mlp_apply(params["mlp"], feature)[..., 0]  # [V, B]
+    return _score_tail(params, cfg, final, query, V, B)
+
+
+def _score_tail(params, cfg: NBFNetConfig, final, query, V, B):
+    """cat(final, query) -> MLP -> [B, V]; optionally chunked over entities
+    so only [score_chunk, B, *] intermediates are live at once."""
+    C = cfg.score_chunk
+    if not C or V <= C:
+        node_query = jnp.broadcast_to(query[None, :, :], (V, B, cfg.input_dim))
+        feature = jnp.concatenate([final, node_query], axis=-1)  # [V, B, F]
+        score = mlp_apply(params["mlp"], feature)[..., 0]  # [V, B]
+        return score.T  # [B, V]
+    n = -(-V // C)
+    pad = n * C - V
+    if pad:
+        final = jnp.concatenate(
+            [final, jnp.zeros((pad,) + final.shape[1:], final.dtype)], 0
+        )
+    chunks = final.reshape(n, C, B, final.shape[-1])
+    node_query = jnp.broadcast_to(query[None, :, :], (C, B, cfg.input_dim))
+
+    def score_one(chunk):
+        feature = jnp.concatenate([chunk, node_query], axis=-1)
+        return mlp_apply(params["mlp"], feature)[..., 0]  # [C, B]
+
+    score = jax.lax.map(score_one, chunks).reshape(n * C, B)[:V]
     return score.T  # [B, V]
