@@ -80,10 +80,10 @@ def _kernel_one_gather(
     agg: str = "add",
 ):
     if mode == "none":
-        out_ref, mbuf, wbuf, msems, wsems, xbuf, sems = rest
+        out_ref, mbuf, wbuf, msems, wsems, xbuf, sems, mark_ref = rest
         rel_ref = None
     else:
-        rel_ref, out_ref, mbuf, wbuf, msems, wsems, xbuf, sems = rest
+        rel_ref, out_ref, mbuf, wbuf, msems, wsems, xbuf, sems, mark_ref = rest
     c = pl.program_id(0)
     slot = jax.lax.rem(c, 2)
     nxt = jax.lax.rem(c + 1, 2)
@@ -142,6 +142,58 @@ def _kernel_one_gather(
     # run accumulation: edges are row-sorted, so consecutive edges usually
     # share the output row (mean in-degree). Accumulate the current run in
     # registers and touch the output row only on row change.
+    #
+    # agg='add' uses TELESCOPING accumulation: `acc` grows monotonically over
+    # the whole chunk and a row's contribution is the difference acc - mark,
+    # where `mark` (VMEM scratch, touched only on row change) snapshots acc at
+    # the previous flush. The per-edge select/reset disappears — the inner
+    # loop is a pure fused multiply-accumulate — and all row-change work lives
+    # in the flush branch, amortized over the mean in-degree run length.
+    # Padding edges carry w=0 and add nothing. Accumulation error stays
+    # bounded by the per-chunk (<= tile_edges-edge) partial sums.
+    if agg == "add":
+        mark_ref[...] = jnp.zeros_like(mark_ref)
+
+        def body(g, carry):
+            d_prev, acc = carry
+            gslot = jax.lax.rem(g, NGRP)
+            wait_group(g)
+
+            @pl.when(g + NGRP < ngroups)
+            def _():
+                start_group(g + NGRP)
+
+            for j in range(GROUP):
+                i = g * GROUP + j
+                xrow = xbuf[gslot * GROUP + j]
+                w = wbuf[slot, 0, i]
+                d = mbuf[slot, 2, i]
+                flush = d != d_prev
+
+                @pl.when(flush)
+                def _(d_prev=d_prev, acc=acc):
+                    out_ref[pl.ds(d_prev, 1)] = (
+                        out_ref[pl.ds(d_prev, 1)] + (acc - mark_ref[...])[None]
+                    )
+                    mark_ref[...] = acc
+
+                if mode == "mul_rel":
+                    msg = rel_ref[mbuf[slot, 1, i]] * xrow
+                elif mode == "add_rel":
+                    msg = rel_ref[mbuf[slot, 1, i]] + xrow
+                else:  # none
+                    msg = xrow
+                acc = acc + msg.astype(jnp.float32) * w
+                d_prev = d
+            return d_prev, acc
+
+        zrow = jnp.zeros(out_ref.shape[1:], jnp.float32)
+        d_last, acc_last = jax.lax.fori_loop(0, ngroups, body, (0, zrow))
+        out_ref[pl.ds(d_last, 1)] = (
+            out_ref[pl.ds(d_last, 1)] + (acc_last - mark_ref[...])[None]
+        )
+        return
+
     def body(g, carry):
         d_prev, acc = carry
         gslot = jax.lax.rem(g, NGRP)
@@ -162,9 +214,8 @@ def _kernel_one_gather(
             else:  # none
                 msg = xrow
             msg = msg.astype(jnp.float32) * w
-            if agg != "add":
-                # padding edges must be the aggregation identity, not 0
-                msg = jnp.where(mbuf[slot, 3, i] != 0, msg, neutral)
+            # padding edges must be the aggregation identity, not 0
+            msg = jnp.where(mbuf[slot, 3, i] != 0, msg, neutral)
             d = mbuf[slot, 2, i]
             flush = d != d_prev
 
@@ -199,10 +250,10 @@ def _kernel_one_gather_vmem(
     agg: str = "add",
 ):
     if mode == "none":
-        out_ref, mbuf, wbuf, msems, wsems = rest
+        out_ref, mbuf, wbuf, msems, wsems, mark_ref = rest
         rel_ref = None
     else:
-        rel_ref, out_ref, mbuf, wbuf, msems, wsems = rest
+        rel_ref, out_ref, mbuf, wbuf, msems, wsems, mark_ref = rest
     c = pl.program_id(0)
     slot = jax.lax.rem(c, 2)
     nxt = jax.lax.rem(c + 1, 2)
@@ -231,6 +282,41 @@ def _kernel_one_gather_vmem(
 
     te = mbuf.shape[-1]
 
+    if agg == "add":
+        # telescoping accumulation (see _kernel_one_gather): per-edge work is
+        # read + multiply + accumulate only; row flushes write differences
+        mark_ref[...] = jnp.zeros_like(mark_ref)
+
+        def body(i, carry):
+            d_prev, acc = carry
+            xrow = data_ref[mbuf[slot, 0, i]]
+            w = wbuf[slot, 0, i]
+            d = mbuf[slot, 2, i]
+            flush = d != d_prev
+
+            @pl.when(flush)
+            def _():
+                out_ref[pl.ds(d_prev, 1)] = (
+                    out_ref[pl.ds(d_prev, 1)] + (acc - mark_ref[...])[None]
+                )
+                mark_ref[...] = acc
+
+            if mode == "mul_rel":
+                msg = rel_ref[mbuf[slot, 1, i]] * xrow
+            elif mode == "add_rel":
+                msg = rel_ref[mbuf[slot, 1, i]] + xrow
+            else:
+                msg = xrow
+            acc = acc + msg.astype(jnp.float32) * w
+            return d, acc
+
+        zrow = jnp.zeros(out_ref.shape[1:], jnp.float32)
+        d_last, acc_last = jax.lax.fori_loop(0, te, body, (0, zrow))
+        out_ref[pl.ds(d_last, 1)] = (
+            out_ref[pl.ds(d_last, 1)] + (acc_last - mark_ref[...])[None]
+        )
+        return
+
     def body(i, carry):
         d_prev, acc = carry
         xrow = data_ref[mbuf[slot, 0, i]]
@@ -242,8 +328,7 @@ def _kernel_one_gather_vmem(
         else:
             msg = xrow
         msg = msg.astype(jnp.float32) * w
-        if agg != "add":
-            msg = jnp.where(mbuf[slot, 3, i] != 0, msg, neutral)
+        msg = jnp.where(mbuf[slot, 3, i] != 0, msg, neutral)
         d = mbuf[slot, 2, i]
         flush = d != d_prev
 
@@ -264,7 +349,7 @@ def _kernel_one_gather_vmem(
 
 def _kernel_bwd_fused_vmem(
     cr_ref, meta_hbm, w_hbm, g_ref, rel_ref, x_ref, dx_ref, dr_ref,
-    mbuf, wbuf, msems, wsems, *, mode: str, num_chunks: int
+    mbuf, wbuf, msems, wsems, mark_ref, xrow_ref, *, mode: str, num_chunks: int
 ):
     c = pl.program_id(0)
     slot = jax.lax.rem(c, 2)
@@ -293,8 +378,13 @@ def _kernel_bwd_fused_vmem(
 
     te = mbuf.shape[-1]
 
+    # telescoping dx accumulation (see _kernel_one_gather): all row-change
+    # work — dx flush, mark snapshot, current-src x row refresh — lives in
+    # the flush branch; the per-edge path is load-multiply-accumulate only
+    mark_ref[...] = jnp.zeros_like(mark_ref)
+
     def body(i, carry):
-        d_prev, dx_acc, x_row = carry
+        d_prev, dx_acc = carry
         grow = g_ref[mbuf[slot, 0, i]]
         w = wbuf[slot, 0, i]
         r = mbuf[slot, 1, i]
@@ -304,24 +394,27 @@ def _kernel_bwd_fused_vmem(
         @pl.when(flush)
         def _():
             dx_ref[pl.ds(d_prev, 1)] = (
-                dx_ref[pl.ds(d_prev, 1)] + dx_acc[None]
+                dx_ref[pl.ds(d_prev, 1)] + (dx_acc - mark_ref[...])[None]
             )
+            mark_ref[...] = dx_acc
+            xrow_ref[...] = x_ref[d]
 
-        x_row = jnp.where(flush, x_ref[d].astype(jnp.float32), x_row)
         gw = grow.astype(jnp.float32) * w
         if mode == "mul":
             dx_msg = rel_ref[r].astype(jnp.float32) * gw
-            dr_msg = x_row * gw
+            dr_msg = xrow_ref[...].astype(jnp.float32) * gw
         else:
             dx_msg = gw
             dr_msg = gw
-        dx_acc = jnp.where(flush, dx_msg, dx_acc + dx_msg)
+        dx_acc = dx_acc + dx_msg
         dr_ref[pl.ds(r, 1)] = dr_ref[pl.ds(r, 1)] + dr_msg[None]
-        return d, dx_acc, x_row
+        return d, dx_acc
 
     zrow = jnp.zeros(dx_ref.shape[1:], jnp.float32)
-    d_last, dx_last, _ = jax.lax.fori_loop(0, te, body, (-1, zrow, zrow))
-    dx_ref[pl.ds(d_last, 1)] = dx_ref[pl.ds(d_last, 1)] + dx_last[None]
+    d_last, dx_last = jax.lax.fori_loop(0, te, body, (-1, zrow))
+    dx_ref[pl.ds(d_last, 1)] = (
+        dx_ref[pl.ds(d_last, 1)] + (dx_last - mark_ref[...])[None]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -336,7 +429,8 @@ def _kernel_bwd_fused_vmem(
 
 def _kernel_bwd_fused(
     cr_ref, meta_hbm, w_hbm, g_hbm, rel_ref, x_ref, dx_ref, dr_ref,
-    mbuf, wbuf, msems, wsems, gbuf, sems, *, mode: str, num_chunks: int
+    mbuf, wbuf, msems, wsems, gbuf, sems, mark_ref, xrow_ref,
+    *, mode: str, num_chunks: int
 ):
     """meta rows: (0: dst index to gather from g, 1: etype, 2: src row_local).
     mode 'mul': dx += w*rel[r]*g[dst]; dr[r] += w*x[src]*g[dst]
@@ -389,10 +483,14 @@ def _kernel_bwd_fused(
     for g in range(NGRP):
         start_group(g)
 
-    # run accumulation on dx (edges are src-sorted): registers hold the
-    # current source row's gradient and its x row; flushed on row change.
+    # telescoping run accumulation on dx (edges are src-sorted; see
+    # _kernel_one_gather): all row-change work — dx flush, mark snapshot,
+    # current-src x row refresh — lives in the flush branch, so the per-edge
+    # path is load-multiply-accumulate only.
+    mark_ref[...] = jnp.zeros_like(mark_ref)
+
     def body(g, carry):
-        d_prev, dx_acc, x_row = carry
+        d_prev, dx_acc = carry
         gslot = jax.lax.rem(g, NGRP)
         wait_group(g)
 
@@ -409,32 +507,33 @@ def _kernel_bwd_fused(
             flush = d != d_prev
 
             @pl.when(flush)
-            def _(d_prev=d_prev, dx_acc=dx_acc):
+            def _(d_prev=d_prev, dx_acc=dx_acc, d=d):
                 dx_ref[pl.ds(d_prev, 1)] = (
-                    dx_ref[pl.ds(d_prev, 1)] + dx_acc[None]
+                    dx_ref[pl.ds(d_prev, 1)] + (dx_acc - mark_ref[...])[None]
                 )
+                mark_ref[...] = dx_acc
+                xrow_ref[...] = x_ref[d]
 
-            x_row = jnp.where(flush, x_ref[d], x_row)
             gw = grow * w
             if mode == "mul":
                 dx_msg = rel_ref[r] * gw
-                dr_msg = x_row * gw
+                dr_msg = xrow_ref[...] * gw
             else:  # transe
                 dx_msg = gw
                 dr_msg = gw
-            dx_acc = jnp.where(flush, dx_msg, dx_acc + dx_msg)
+            dx_acc = dx_acc + dx_msg
             dr_ref[pl.ds(r, 1)] = dr_ref[pl.ds(r, 1)] + dr_msg[None]
             d_prev = d
-        return d_prev, dx_acc, x_row
+        return d_prev, dx_acc
 
     # d_prev starts at -1 so the first edge always "flushes" (loading its x
     # row); the flush write dynamic-slices at -1, which clamps to row 0 and
-    # adds a zero accumulator — harmless.
+    # adds a zero difference — harmless.
     zrow = jnp.zeros(dx_ref.shape[1:], jnp.float32)
-    d_last, dx_last, _ = jax.lax.fori_loop(
-        0, ngroups, body, (-1, zrow, zrow)
+    d_last, dx_last = jax.lax.fori_loop(0, ngroups, body, (-1, zrow))
+    dx_ref[pl.ds(d_last, 1)] = (
+        dx_ref[pl.ds(d_last, 1)] + (dx_last - mark_ref[...])[None]
     )
-    dx_ref[pl.ds(d_last, 1)] = dx_ref[pl.ds(d_last, 1)] + dx_last[None]
 
 
 # ---------------------------------------------------------------------------
@@ -729,6 +828,8 @@ def rspmm_gather1(
                 pltpu.VMEM((NGRP * GROUP, ft, _LANE), xbuf_dtype),
                 pltpu.SemaphoreType.DMA((NGRP,)),
             ]
+        # telescoping mark (agg='add'; allocated but untouched for min/max)
+        scratch.append(pltpu.VMEM((ft, _LANE), jnp.float32))
         if relation is not None:
             in_specs.append(
                 pl.BlockSpec((rel_rows, ft, _LANE), lambda c, cr: (0, 0, 0),
@@ -838,6 +939,10 @@ def rspmm_bwd_fused(
                 pltpu.VMEM((NGRP * GROUP, ft, _LANE), g_flat.dtype),
                 pltpu.SemaphoreType.DMA((NGRP,)),
             ]
+        scratch += [
+            pltpu.VMEM((ft, _LANE), jnp.float32),     # telescoping mark
+            pltpu.VMEM((ft, _LANE), x_flat.dtype),    # current src x row
+        ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(layout.num_chunks,),
