@@ -188,6 +188,7 @@ def run_variant(variant, E, runlen, F=4096, V=4096, R=480, te=8192, tv=256,
         meta[c, 3] = 1
         cr[0, c] = 0
         cr[1, c] = 0
+    cr[1, 0] = 1  # force out-block init on the first chunk
     w = rng.normal(size=(C, 1, te)).astype(np.float32)
     data = rng.normal(size=(V, ft, _LANE)).astype(np.float32)
     rel = rng.normal(size=(R, ft, _LANE)).astype(np.float32)
@@ -221,23 +222,34 @@ def run_variant(variant, E, runlen, F=4096, V=4096, R=480, te=8192, tv=256,
         interpret=jax.default_backend() != "tpu",
     )
 
-    @jax.jit
-    def chained(cr_, meta_, w_, data_, rel_):
-        out = jnp.zeros((tv, ft, _LANE), jnp.float32)
-        for _ in range(chain):
-            out = out + call(cr_, meta_, w_, data_ + out[0, 0, 0], rel_)
-        return out
+    def make_chained(n):
+        @jax.jit
+        def chained(cr_, meta_, w_, data_, rel_):
+            out = jnp.zeros((tv, ft, _LANE), jnp.float32)
+            for _ in range(n):
+                out = out + call(cr_, meta_, w_, data_ + out[0, 0, 0], rel_)
+            return out[0, 0, 0]  # scalar result: float() forces completion
 
-    args = (jnp.asarray(cr), jnp.asarray(meta), jnp.asarray(w),
-            jnp.asarray(data), jnp.asarray(rel))
-    out = chained(*args)
-    jax.block_until_ready(out)
+        return chained
+
+    lo, hi = make_chained(2), make_chained(2 + chain)
+    meta_d, data_d, rel_d = (jnp.asarray(meta), jnp.asarray(data),
+                             jnp.asarray(rel))
+    cr_d, w_d = jnp.asarray(cr), jnp.asarray(w)
+    float(lo(cr_d, meta_d, w_d, data_d, rel_d))  # compile
+    float(hi(cr_d, meta_d, w_d, data_d, rel_d))
+    # slope timing: (t[chain+2 calls] - t[2 calls]) / chain cancels the
+    # dispatch/fetch constant (remote tunnel RTT is tens of ms)
     best = float("inf")
-    for _ in range(3):
+    for rep in range(3):
         t0 = time.time()
-        jax.block_until_ready(chained(*args))
-        best = min(best, time.time() - t0)
-    per_call = best / chain
+        float(lo(cr_d, meta_d, w_d, data_d, rel_d))
+        t_lo = time.time() - t0
+        t0 = time.time()
+        float(hi(cr_d, meta_d, w_d, data_d, rel_d))
+        t_hi = time.time() - t0
+        best = min(best, (t_hi - t_lo) / chain)
+    per_call = best
     cyc = per_call * 940e6 / E  # v5e ~940 MHz
     return per_call * 1e3, cyc
 

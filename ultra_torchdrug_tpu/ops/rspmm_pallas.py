@@ -40,6 +40,7 @@ NBUF = 16  # per-edge DMA lookahead depth (two-gather template)
 GROUP = 8  # row DMAs per shared semaphore (grouped-wait templates)
 NGRP = 4   # groups in flight
 _LANE = 128
+NACC = 4   # independent telescoping accumulators (FMA-chain ILP)
 # identity element magnitude for max/min aggregation: rows that never receive
 # a real edge keep +-_BIG and are masked to 0 after the kernel (the XLA
 # oracle's empty-row convention). Real weight-0 edges still contribute 0,
@@ -143,19 +144,23 @@ def _kernel_one_gather(
     # share the output row (mean in-degree). Accumulate the current run in
     # registers and touch the output row only on row change.
     #
-    # agg='add' uses TELESCOPING accumulation: `acc` grows monotonically over
-    # the whole chunk and a row's contribution is the difference acc - mark,
-    # where `mark` (VMEM scratch, touched only on row change) snapshots acc at
-    # the previous flush. The per-edge select/reset disappears — the inner
-    # loop is a pure fused multiply-accumulate — and all row-change work lives
-    # in the flush branch, amortized over the mean in-degree run length.
+    # agg='add' uses MULTI-ACCUMULATOR TELESCOPING: NACC independent
+    # accumulators (edge i feeds acc[i % NACC], a static register) whose SUM
+    # grows monotonically over the chunk; a row's contribution is the
+    # difference sum(accs) - mark, where `mark` (VMEM scratch, touched only on
+    # row change) snapshots the total at the previous flush. The per-edge
+    # select/reset disappears AND the FMA dependency chain splits NACC ways
+    # (the serial acc chain + flush-branch stall measured 10.5 cyc/edge,
+    # multiacc recovers ~7.7 — script/diagnostics/kernel_floor.py); row-change
+    # work lives in the flush branch, amortized over the mean in-degree run.
     # Padding edges carry w=0 and add nothing. Accumulation error stays
     # bounded by the per-chunk (<= tile_edges-edge) partial sums.
     if agg == "add":
         mark_ref[...] = jnp.zeros_like(mark_ref)
 
         def body(g, carry):
-            d_prev, acc = carry
+            d_prev, *accs = carry
+            accs = list(accs)
             gslot = jax.lax.rem(g, NGRP)
             wait_group(g)
 
@@ -171,11 +176,15 @@ def _kernel_one_gather(
                 flush = d != d_prev
 
                 @pl.when(flush)
-                def _(d_prev=d_prev, acc=acc):
+                def _(d_prev=d_prev, accs=tuple(accs)):
+                    total = accs[0]
+                    for k in range(1, NACC):
+                        total = total + accs[k]
                     out_ref[pl.ds(d_prev, 1)] = (
-                        out_ref[pl.ds(d_prev, 1)] + (acc - mark_ref[...])[None]
+                        out_ref[pl.ds(d_prev, 1)]
+                        + (total - mark_ref[...])[None]
                     )
-                    mark_ref[...] = acc
+                    mark_ref[...] = total
 
                 if mode == "mul_rel":
                     msg = rel_ref[mbuf[slot, 1, i]] * xrow
@@ -183,14 +192,19 @@ def _kernel_one_gather(
                     msg = rel_ref[mbuf[slot, 1, i]] + xrow
                 else:  # none
                     msg = xrow
-                acc = acc + msg.astype(jnp.float32) * w
+                accs[j % NACC] = accs[j % NACC] + msg.astype(jnp.float32) * w
                 d_prev = d
-            return d_prev, acc
+            return (d_prev, *accs)
 
         zrow = jnp.zeros(out_ref.shape[1:], jnp.float32)
-        d_last, acc_last = jax.lax.fori_loop(0, ngroups, body, (0, zrow))
+        d_last, *accs = jax.lax.fori_loop(
+            0, ngroups, body, (0,) + (zrow,) * NACC
+        )
+        total = accs[0]
+        for k in range(1, NACC):
+            total = total + accs[k]
         out_ref[pl.ds(d_last, 1)] = (
-            out_ref[pl.ds(d_last, 1)] + (acc_last - mark_ref[...])[None]
+            out_ref[pl.ds(d_last, 1)] + (total - mark_ref[...])[None]
         )
         return
 
@@ -283,37 +297,51 @@ def _kernel_one_gather_vmem(
     te = mbuf.shape[-1]
 
     if agg == "add":
-        # telescoping accumulation (see _kernel_one_gather): per-edge work is
-        # read + multiply + accumulate only; row flushes write differences
+        # multi-accumulator telescoping (see _kernel_one_gather): per-edge
+        # work is read + FMA into a static rotation of NACC independent
+        # accumulators; row flushes write total-minus-mark differences
         mark_ref[...] = jnp.zeros_like(mark_ref)
 
-        def body(i, carry):
-            d_prev, acc = carry
-            xrow = data_ref[mbuf[slot, 0, i]]
-            w = wbuf[slot, 0, i]
-            d = mbuf[slot, 2, i]
-            flush = d != d_prev
+        def body(q, carry):
+            d_prev, *accs = carry
+            accs = list(accs)
+            for j in range(NACC):
+                i = q * NACC + j
+                xrow = data_ref[mbuf[slot, 0, i]]
+                w = wbuf[slot, 0, i]
+                d = mbuf[slot, 2, i]
+                flush = d != d_prev
 
-            @pl.when(flush)
-            def _():
-                out_ref[pl.ds(d_prev, 1)] = (
-                    out_ref[pl.ds(d_prev, 1)] + (acc - mark_ref[...])[None]
-                )
-                mark_ref[...] = acc
+                @pl.when(flush)
+                def _(d_prev=d_prev, accs=tuple(accs)):
+                    total = accs[0]
+                    for k in range(1, NACC):
+                        total = total + accs[k]
+                    out_ref[pl.ds(d_prev, 1)] = (
+                        out_ref[pl.ds(d_prev, 1)]
+                        + (total - mark_ref[...])[None]
+                    )
+                    mark_ref[...] = total
 
-            if mode == "mul_rel":
-                msg = rel_ref[mbuf[slot, 1, i]] * xrow
-            elif mode == "add_rel":
-                msg = rel_ref[mbuf[slot, 1, i]] + xrow
-            else:
-                msg = xrow
-            acc = acc + msg.astype(jnp.float32) * w
-            return d, acc
+                if mode == "mul_rel":
+                    msg = rel_ref[mbuf[slot, 1, i]] * xrow
+                elif mode == "add_rel":
+                    msg = rel_ref[mbuf[slot, 1, i]] + xrow
+                else:
+                    msg = xrow
+                accs[j] = accs[j] + msg.astype(jnp.float32) * w
+                d_prev = d
+            return (d_prev, *accs)
 
         zrow = jnp.zeros(out_ref.shape[1:], jnp.float32)
-        d_last, acc_last = jax.lax.fori_loop(0, te, body, (0, zrow))
+        d_last, *accs = jax.lax.fori_loop(
+            0, te // NACC, body, (0,) + (zrow,) * NACC
+        )
+        total = accs[0]
+        for k in range(1, NACC):
+            total = total + accs[k]
         out_ref[pl.ds(d_last, 1)] = (
-            out_ref[pl.ds(d_last, 1)] + (acc_last - mark_ref[...])[None]
+            out_ref[pl.ds(d_last, 1)] + (total - mark_ref[...])[None]
         )
         return
 
@@ -378,42 +406,55 @@ def _kernel_bwd_fused_vmem(
 
     te = mbuf.shape[-1]
 
-    # telescoping dx accumulation (see _kernel_one_gather): all row-change
-    # work — dx flush, mark snapshot, current-src x row refresh — lives in
-    # the flush branch; the per-edge path is load-multiply-accumulate only
+    # multi-accumulator telescoping dx (see _kernel_one_gather): all
+    # row-change work — dx flush, mark snapshot, current-src x row refresh —
+    # lives in the flush branch; the per-edge path is load-FMA into a static
+    # rotation of NACC independent accumulators
     mark_ref[...] = jnp.zeros_like(mark_ref)
 
-    def body(i, carry):
-        d_prev, dx_acc = carry
-        grow = g_ref[mbuf[slot, 0, i]]
-        w = wbuf[slot, 0, i]
-        r = mbuf[slot, 1, i]
-        d = mbuf[slot, 2, i]
-        flush = d != d_prev
+    def body(q, carry):
+        d_prev, *accs = carry
+        accs = list(accs)
+        for j in range(NACC):
+            i = q * NACC + j
+            grow = g_ref[mbuf[slot, 0, i]]
+            w = wbuf[slot, 0, i]
+            r = mbuf[slot, 1, i]
+            d = mbuf[slot, 2, i]
+            flush = d != d_prev
 
-        @pl.when(flush)
-        def _():
-            dx_ref[pl.ds(d_prev, 1)] = (
-                dx_ref[pl.ds(d_prev, 1)] + (dx_acc - mark_ref[...])[None]
-            )
-            mark_ref[...] = dx_acc
-            xrow_ref[...] = x_ref[d]
+            @pl.when(flush)
+            def _(d_prev=d_prev, accs=tuple(accs), d=d):
+                total = accs[0]
+                for k in range(1, NACC):
+                    total = total + accs[k]
+                dx_ref[pl.ds(d_prev, 1)] = (
+                    dx_ref[pl.ds(d_prev, 1)] + (total - mark_ref[...])[None]
+                )
+                mark_ref[...] = total
+                xrow_ref[...] = x_ref[d]
 
-        gw = grow.astype(jnp.float32) * w
-        if mode == "mul":
-            dx_msg = rel_ref[r].astype(jnp.float32) * gw
-            dr_msg = xrow_ref[...].astype(jnp.float32) * gw
-        else:
-            dx_msg = gw
-            dr_msg = gw
-        dx_acc = dx_acc + dx_msg
-        dr_ref[pl.ds(r, 1)] = dr_ref[pl.ds(r, 1)] + dr_msg[None]
-        return d, dx_acc
+            gw = grow.astype(jnp.float32) * w
+            if mode == "mul":
+                dx_msg = rel_ref[r].astype(jnp.float32) * gw
+                dr_msg = xrow_ref[...].astype(jnp.float32) * gw
+            else:
+                dx_msg = gw
+                dr_msg = gw
+            accs[j] = accs[j] + dx_msg
+            dr_ref[pl.ds(r, 1)] = dr_ref[pl.ds(r, 1)] + dr_msg[None]
+            d_prev = d
+        return (d_prev, *accs)
 
     zrow = jnp.zeros(dx_ref.shape[1:], jnp.float32)
-    d_last, dx_last = jax.lax.fori_loop(0, te, body, (-1, zrow))
+    d_last, *accs = jax.lax.fori_loop(
+        0, te // NACC, body, (-1,) + (zrow,) * NACC
+    )
+    total = accs[0]
+    for k in range(1, NACC):
+        total = total + accs[k]
     dx_ref[pl.ds(d_last, 1)] = (
-        dx_ref[pl.ds(d_last, 1)] + (dx_last - mark_ref[...])[None]
+        dx_ref[pl.ds(d_last, 1)] + (total - mark_ref[...])[None]
     )
 
 
@@ -483,14 +524,15 @@ def _kernel_bwd_fused(
     for g in range(NGRP):
         start_group(g)
 
-    # telescoping run accumulation on dx (edges are src-sorted; see
+    # multi-accumulator telescoping dx (edges are src-sorted; see
     # _kernel_one_gather): all row-change work — dx flush, mark snapshot,
     # current-src x row refresh — lives in the flush branch, so the per-edge
-    # path is load-multiply-accumulate only.
+    # path is load-FMA into a static rotation of NACC accumulators.
     mark_ref[...] = jnp.zeros_like(mark_ref)
 
     def body(g, carry):
-        d_prev, dx_acc = carry
+        d_prev, *accs = carry
+        accs = list(accs)
         gslot = jax.lax.rem(g, NGRP)
         wait_group(g)
 
@@ -507,11 +549,14 @@ def _kernel_bwd_fused(
             flush = d != d_prev
 
             @pl.when(flush)
-            def _(d_prev=d_prev, dx_acc=dx_acc, d=d):
+            def _(d_prev=d_prev, accs=tuple(accs), d=d):
+                total = accs[0]
+                for k in range(1, NACC):
+                    total = total + accs[k]
                 dx_ref[pl.ds(d_prev, 1)] = (
-                    dx_ref[pl.ds(d_prev, 1)] + (dx_acc - mark_ref[...])[None]
+                    dx_ref[pl.ds(d_prev, 1)] + (total - mark_ref[...])[None]
                 )
-                mark_ref[...] = dx_acc
+                mark_ref[...] = total
                 xrow_ref[...] = x_ref[d]
 
             gw = grow * w
@@ -521,18 +566,23 @@ def _kernel_bwd_fused(
             else:  # transe
                 dx_msg = gw
                 dr_msg = gw
-            dx_acc = dx_acc + dx_msg
+            accs[j % NACC] = accs[j % NACC] + dx_msg
             dr_ref[pl.ds(r, 1)] = dr_ref[pl.ds(r, 1)] + dr_msg[None]
             d_prev = d
-        return d_prev, dx_acc
+        return (d_prev, *accs)
 
     # d_prev starts at -1 so the first edge always "flushes" (loading its x
     # row); the flush write dynamic-slices at -1, which clamps to row 0 and
     # adds a zero difference — harmless.
     zrow = jnp.zeros(dx_ref.shape[1:], jnp.float32)
-    d_last, dx_last = jax.lax.fori_loop(0, ngroups, body, (-1, zrow))
+    d_last, *accs = jax.lax.fori_loop(
+        0, ngroups, body, (-1,) + (zrow,) * NACC
+    )
+    total = accs[0]
+    for k in range(1, NACC):
+        total = total + accs[k]
     dx_ref[pl.ds(d_last, 1)] = (
-        dx_ref[pl.ds(d_last, 1)] + (dx_last - mark_ref[...])[None]
+        dx_ref[pl.ds(d_last, 1)] + (total - mark_ref[...])[None]
     )
 
 
