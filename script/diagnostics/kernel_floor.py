@@ -105,8 +105,8 @@ def make_kernel(variant: str, num_chunks: int):
                 out_ref[pl.ds(d_last, 1)] + (acc - mark_ref[...])[None])
             return
 
-        if variant == "v3_multiacc":
-            UN = 4
+        if variant.startswith("v3_multiacc"):
+            UN = int(variant.rsplit("acc", 1)[1] or 4)
 
             def body(q, carry):
                 d_prev, *accs = carry
@@ -259,7 +259,7 @@ def main():
     ap.add_argument("--edges", type=int, default=524288)
     ap.add_argument("--runlen", type=int, default=32)
     ap.add_argument("--variants", type=str, default="v0_current,v1_nobranch,"
-                    "v2_noscalar,v3_multiacc,v4_pure_fma")
+                    "v2_noscalar,v3_multiacc4,v4_pure_fma")
     args = ap.parse_args()
     for v in args.variants.split(","):
         ms, cyc = run_variant(v, args.edges, args.runlen)

@@ -40,7 +40,7 @@ NBUF = 16  # per-edge DMA lookahead depth (two-gather template)
 GROUP = 8  # row DMAs per shared semaphore (grouped-wait templates)
 NGRP = 4   # groups in flight
 _LANE = 128
-NACC = 4   # independent telescoping accumulators (FMA-chain ILP)
+NACC = 8   # independent telescoping accumulators (FMA-chain ILP); divides tile_edges
 # identity element magnitude for max/min aggregation: rows that never receive
 # a real edge keep +-_BIG and are masked to 0 after the kernel (the XLA
 # oracle's empty-row convention). Real weight-0 edges still contribute 0,
