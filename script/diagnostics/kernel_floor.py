@@ -144,6 +144,54 @@ def make_kernel(variant: str, num_chunks: int):
                 out_ref[pl.ds(d_last, 1)] + (total - mark_ref[...])[None])
             return
 
+        if variant.startswith("v5_drrmw"):
+            # v3_multiacc4 plus a per-edge dynamic read-modify-write into a
+            # second VMEM region (emulating the fused backward's dr[r] +=),
+            # quantifying the argmax-free dr scatter cost. Reuses out_ref
+            # rows [0, R') as the dr surrogate via the rel index.
+            UN = 4
+
+            def body(q, carry):
+                d_prev, *accs = carry
+                accs = list(accs)
+                for j in range(UN):
+                    i = q * UN + j
+                    xrow = data_ref[mbuf[slot, 0, i]]
+                    w = wbuf[slot, 0, i]
+                    d = mbuf[slot, 2, i]
+                    r = mbuf[slot, 1, i]
+                    flush = d != d_prev
+
+                    @pl.when(flush)
+                    def _(d_prev=d_prev, accs=tuple(accs)):
+                        total = accs[0]
+                        for k in range(1, UN):
+                            total = total + accs[k]
+                        out_ref[pl.ds(d_prev, 1)] = (
+                            out_ref[pl.ds(d_prev, 1)]
+                            + (total - mark_ref[...])[None]
+                        )
+                        mark_ref[...] = total
+
+                    msg = rel_ref[r] * xrow
+                    accs[j] = accs[j] + msg * w
+                    # dr-style scatter: dynamic RMW keyed by rel (r < tv here)
+                    out_ref[pl.ds(jax.lax.rem(r, 64), 1)] = (
+                        out_ref[pl.ds(jax.lax.rem(r, 64), 1)] + (msg * w)[None]
+                    )
+                    d_prev = d
+                return (d_prev, *accs)
+
+            z = jnp.zeros(out_ref.shape[1:], jnp.float32)
+            d_last, *accs = jax.lax.fori_loop(
+                0, te // UN, body, (0,) + (z,) * UN)
+            total = accs[0]
+            for k in range(1, UN):
+                total = total + accs[k]
+            out_ref[pl.ds(d_last, 1)] = (
+                out_ref[pl.ds(d_last, 1)] + (total - mark_ref[...])[None])
+            return
+
         # v0_current: the shipped telescoping add path
         def body(i, carry):
             d_prev, acc = carry
