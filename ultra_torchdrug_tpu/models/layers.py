@@ -167,6 +167,15 @@ def conv_apply(
             assert agg in ("add", "max", "min", "sq_add")
             return _rotate_messages_aggregate(graph, relation, xx, agg)
         msg = {"transe": "add", "distmult": "mul"}[cfg.message_func]
+        if (graph.dense_adj is not None and agg == "add" and not edge_grad
+                and not cfg.edge_axis):
+            # small dense graph (the ULTRA relation graph): sum aggregation
+            # decomposes into per-etype MXU matmuls — ~100x the per-edge
+            # kernel path at full pattern-product density (ops/dense.py).
+            # max/min (non-decomposable) fall through to the sparse kernels.
+            from ..ops.dense import dense_rspmm
+
+            return dense_rspmm(graph.dense_adj, relation, xx, msg=msg)
         if cfg.edge_axis and agg == "add" and not edge_grad:
             from ..parallel.mesh import current_mesh
             from ..parallel.sharded_rspmm import (

@@ -1,0 +1,61 @@
+"""Dense MXU formulation of the generalized relational SpMM (sum-aggregated).
+
+For small dense relational graphs — the ULTRA relation graph is 2R nodes
+(~474 for FB15k237) with up to N²·T pattern-product edges
+(/root/reference/ultra/models.py relation-graph construction) — the
+sum-aggregated conv decomposes per edge type into dense matmuls that run on
+the systolic array instead of per-edge gather loops:
+
+    distmult:  out[d] = Σ_τ rel[τ] ⊙ (A[τ] @ x)[d]
+    transe:    out[d] = Σ_τ ( deg[τ, d] · rel[τ] + (A[τ] @ x)[d] )
+
+with A[τ, d, s] = Σ_{e=(s→d, τ)} w_e (weights folded, multi-edges summed)
+and deg[τ, d] = Σ_s A[τ, d, s].
+
+At the FB relation-graph scale this is ~100× faster than the per-edge
+kernel path (0.92 GMAC per etype-matmul vs ~16 VPU-cycles/edge · 900k
+edges). Numerics: fp32 accumulation via Precision.HIGHEST (the reference
+disables TF32 — fp32 end-to-end parity); edge-sum ORDER differs from the
+sparse kernels, so comparisons are allclose, not bitwise.
+
+Gradients flow through plain einsums — no custom VJP needed; the reverse
+pass is two more dense matmuls per etype (also MXU).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def dense_rspmm(A, relation, x, *, msg: str):
+    """Sum-aggregated rspmm over a dense per-etype adjacency.
+
+    Args:
+      A: [T, N, N] float32, A[t, d, s] = summed edge weight of (s -> d, t).
+      relation: [T, D] (shared across batch) or [T, B, D].
+      x: [N, B, D] node states.
+      msg: "mul" (distmult) | "add" (transe).
+    Returns: [N, B, D] — Σ_e w_e · (rel[τ_e] ∘ x[s_e]) grouped by destination,
+      matching ops.rspmm.generalized_rspmm(msg, agg="add") up to fp32
+      summation order.
+    """
+    T, N, _ = A.shape
+    _, B, D = x.shape
+    xf = x.reshape(N, B * D)
+    # [T, N, B*D]: one MXU matmul per edge type
+    hp = jnp.einsum("tds,sf->tdf", A, xf, precision=_HI).reshape(T, N, B, D)
+    if relation.ndim == 2:
+        rel = relation[:, None, None, :]  # [T, 1, 1, D]
+    else:
+        rel = relation[:, None, :, :]  # [T, 1, B, D]
+    if msg == "mul":
+        return (hp * rel).sum(axis=0)
+    if msg == "add":
+        deg = A.sum(axis=2)  # [T, N]
+        return hp.sum(axis=0) + jnp.einsum(
+            "tn,t...->n...", deg, rel[:, 0], precision=_HI
+        )
+    raise ValueError(f"unsupported message function {msg!r}")

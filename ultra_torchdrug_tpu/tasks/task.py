@@ -141,6 +141,9 @@ class _TaskBase:
         """Precompute the undirected propagation graph (and, on TPU, the CSR
         layouts the Pallas kernels consume) once per fact graph."""
         und = fact_graph.undirected_with_inverse()
+        # dense-enough relation graphs take the MXU matmul path (no-op for
+        # large/sparse graphs — see Graph.prepare_dense)
+        rel_graph = rel_graph.prepare_dense()
         if self._uses_pallas():
             transe = (self.model_cfg.entity.message_func == "transe"
                       or self.model_cfg.relation.message_func == "transe")
