@@ -31,7 +31,12 @@ def linear_init(key, in_dim: int, out_dim: int) -> Params:
 
 
 def linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    return x @ p["w"] + p["b"]
+    # Precision.HIGHEST: TPU default truncates f32 matmul inputs to bf16;
+    # the reference runs true-fp32 matmuls (TF32 disabled,
+    # /root/reference/script/run_full.py:19-20) — parity requires f32 here
+    return (
+        jnp.dot(x, p["w"], precision=jax.lax.Precision.HIGHEST) + p["b"]
+    )
 
 
 # ---- MLP (torchdrug layers.MLP: ReLU between layers, none after the last) --
