@@ -372,3 +372,40 @@ def test_pallas_hot_row_split(rng, msg):
     for a, b in zip(g_ref, g_hot):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+@pytest.mark.parametrize("agg", ["add", "max"])
+def test_flat_mode_matches_3d(rng, impl, agg):
+    """Flat [V, F] inputs with pre-broadcast [R, F] relation produce the same
+    values and gradients as the [V, B, D] API (the lane-aligned fast path the
+    model's flat carries use)."""
+    ei, et, w, rel, rel_b, x, layouts = make_graph(rng)
+    V, B, D = x.shape
+    relation = jnp.asarray(rel_b)
+    xj = jnp.asarray(x)
+    ei_j, et_j, w_j = jnp.asarray(ei), jnp.asarray(et), jnp.asarray(w)
+    lay = layouts if impl == "pallas" else None
+
+    def loss3(relation, x):
+        out = generalized_rspmm(ei_j, et_j, w_j, relation, x, msg="mul",
+                                agg=agg, num_nodes=V, impl=impl, layouts=lay)
+        return jnp.sum(jnp.sin(out) * out), out
+
+    def lossf(rel_flat, x_flat):
+        out = generalized_rspmm(ei_j, et_j, w_j, rel_flat, x_flat, msg="mul",
+                                agg=agg, num_nodes=V, impl=impl, layouts=lay)
+        return jnp.sum(jnp.sin(out) * out), out
+
+    (l3, out3), g3 = jax.value_and_grad(loss3, argnums=(0, 1), has_aux=True)(
+        relation, xj)
+    (lf, outf), gf = jax.value_and_grad(lossf, argnums=(0, 1), has_aux=True)(
+        relation.reshape(relation.shape[0], -1), xj.reshape(V, -1))
+    np.testing.assert_allclose(np.asarray(outf), np.asarray(out3).reshape(V, -1),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf[0]),
+                               np.asarray(g3[0]).reshape(g3[0].shape[0], -1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf[1]),
+                               np.asarray(g3[1]).reshape(V, -1),
+                               rtol=1e-5, atol=1e-5)

@@ -357,14 +357,30 @@ def entity_nbfnet_score_all(
     return _score_tail(params, cfg, final, query, V, B)
 
 
+def _mlp_head_split(mlp_params, final, query):
+    """mlp(cat([final, broadcast(query)], -1)) without materializing the
+    [V, B, feat+D] concat: the first layer's weight rows are split so the
+    query half is one [B, H] matmul broadcast into the sum (same math — the
+    MLP input is ordered [state; query] like the reference model.py:177-181)."""
+    layers = mlp_params["layers"]
+    w0, b0 = layers[0]["w"], layers[0]["b"]
+    dq = query.shape[-1]
+    h = (
+        jnp.dot(final, w0[:-dq], precision=jax.lax.Precision.HIGHEST)
+        + jnp.dot(query, w0[-dq:], precision=jax.lax.Precision.HIGHEST)[None]
+        + b0
+    )
+    if len(layers) > 1:
+        h = mlp_apply({"layers": layers[1:]}, jax.nn.relu(h))
+    return h
+
+
 def _score_tail(params, cfg: NBFNetConfig, final, query, V, B):
     """cat(final, query) -> MLP -> [B, V]; optionally chunked over entities
     so only [score_chunk, B, *] intermediates are live at once."""
     C = cfg.score_chunk
     if not C or V <= C:
-        node_query = jnp.broadcast_to(query[None, :, :], (V, B, cfg.input_dim))
-        feature = jnp.concatenate([final, node_query], axis=-1)  # [V, B, F]
-        score = mlp_apply(params["mlp"], feature)[..., 0]  # [V, B]
+        score = _mlp_head_split(params["mlp"], final, query)[..., 0]  # [V, B]
         return score.T  # [B, V]
     n = -(-V // C)
     pad = n * C - V
@@ -373,11 +389,9 @@ def _score_tail(params, cfg: NBFNetConfig, final, query, V, B):
             [final, jnp.zeros((pad,) + final.shape[1:], final.dtype)], 0
         )
     chunks = final.reshape(n, C, B, final.shape[-1])
-    node_query = jnp.broadcast_to(query[None, :, :], (C, B, cfg.input_dim))
 
     def score_one(chunk):
-        feature = jnp.concatenate([chunk, node_query], axis=-1)
-        return mlp_apply(params["mlp"], feature)[..., 0]  # [C, B]
+        return _mlp_head_split(params["mlp"], chunk, query)[..., 0]  # [C, B]
 
     score = jax.lax.map(score_one, chunks).reshape(n * C, B)[:V]
     return score.T  # [B, V]

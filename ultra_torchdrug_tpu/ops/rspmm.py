@@ -26,6 +26,12 @@ Shapes:
             query-conditioned case of layer.py:298-330)
   input:    [V, B, D]
   out:      [V, B, D]
+
+Flat mode: input [V, F] with relation [R, F] (F = B*D, relation
+pre-broadcast by the caller). Semantically identical, but [V, F] is the
+kernels' native lane-aligned layout — callers that keep activations flat
+skip a [V, B, D] relayout copy on every kernel boundary (~0.6 ms each at
+FB scale). d_relation comes back [R, F] (no shared-relation batch-sum).
 """
 
 from __future__ import annotations

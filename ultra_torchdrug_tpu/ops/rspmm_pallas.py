@@ -1194,9 +1194,15 @@ def _weight_chunks(edge_weight, layout: CsrLayout):
 
 def rspmm_fwd_pallas(layouts, edge_weight, relation, x, *, msg, num_nodes,
                      compute_dtype=jnp.float32, agg: str = "add"):
-    B = x.shape[1]
-    x_flat = _flat(x)
-    rel_flat = _rel_flat(relation, B)
+    # flat mode: x [V, F] with relation [R, F] — the kernels' native layout;
+    # callers that keep activations flat skip the [V, B, D] relayout copies
+    flat_in = x.ndim == 2
+    if flat_in:
+        x_flat, rel_flat = x, relation
+    else:
+        B = x.shape[1]
+        x_flat = _flat(x)
+        rel_flat = _rel_flat(relation, B)
     mode = "mul_rel" if msg == "mul" else "add_rel"
     out = rspmm_gather1(
         x_flat,
@@ -1227,16 +1233,19 @@ def rspmm_fwd_pallas(layouts, edge_weight, relation, x, *, msg, num_nodes,
         out = jnp.where(out <= -_BIG / 2, 0.0, out)
     elif agg == "min":
         out = jnp.where(out >= _BIG / 2, 0.0, out)
-    return out[:num_nodes].reshape(num_nodes, *x.shape[1:])
+    out = out[:num_nodes]
+    return out if flat_in else out.reshape(num_nodes, *x.shape[1:])
 
 
 def rspmm_bwd_pallas(layouts, edge_weight, relation, x, g, *, msg,
                      compute_dtype=jnp.float32):
     """Returns (d_relation, d_input)."""
-    B = x.shape[1]
+    flat_in = x.ndim == 2
+    if not flat_in:
+        B = x.shape[1]
     g_flat = _flat(g)
     if msg == "mul":
-        rel_flat = _rel_flat(relation, B)
+        rel_flat = relation if flat_in else _rel_flat(relation, B)
         dx_flat, dr_flat = rspmm_bwd_fused(
             _flat(x), g_flat, rel_flat,
             _weight_chunks(edge_weight, layouts.rev),
@@ -1277,6 +1286,8 @@ def rspmm_bwd_pallas(layouts, edge_weight, relation, x, g, *, msg,
             layouts.rel, layouts.rel.gather2, mode="none",
         )
     R = relation.shape[0]
+    if flat_in:
+        return dr_flat[:R], dx
     dr = dr_flat[:R].reshape(R, *x.shape[1:])
     if relation.ndim == 2:  # shared relation: sum over batch
         dr = dr.sum(axis=1)
@@ -1286,11 +1297,11 @@ def rspmm_bwd_pallas(layouts, edge_weight, relation, x, g, *, msg,
 def rspmm_bwd_pallas_minmax(layouts, edge_weight, relation, x, out, g, *, msg):
     """Argext backward for max/min aggregation: one fused pass over the
     src-sorted layout(s) yields (d_relation, d_input). `out` is the saved
-    forward result [V, B, D]."""
-    B = x.shape[1]
+    forward result [V, B, D] (or flat [V, F] with relation [R, F])."""
+    flat_in = x.ndim == 2
     g_flat = _flat(g)
     out_flat = _flat(out)
-    rel_flat = _rel_flat(relation, B)
+    rel_flat = relation if flat_in else _rel_flat(relation, x.shape[1])
     mode = "mul" if msg == "mul" else "add"
     dx_flat, dr_flat = rspmm_bwd_minmax(
         _flat(x), g_flat, out_flat, rel_flat,
@@ -1308,6 +1319,8 @@ def rspmm_bwd_pallas_minmax(layouts, edge_weight, relation, x, out, g, *, msg):
         dr_flat = dr_flat + dr_h
     dx = dx_flat[: x.shape[0]].reshape(x.shape)
     R = relation.shape[0]
+    if flat_in:
+        return dr_flat[:R], dx
     dr = dr_flat[:R].reshape(R, *x.shape[1:])
     if relation.ndim == 2:  # shared relation: sum over batch
         dr = dr.sum(axis=1)
