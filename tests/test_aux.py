@@ -116,3 +116,31 @@ def test_variadic_topks_per_segment_k(rng):
         np.testing.assert_allclose(topv[s_i, :k], seg[:k], rtol=1e-6)
         assert valid[s_i, :k].all() and not valid[s_i, k:].any()
         off += sz
+
+
+def test_meter_lazy_window_fetch():
+    """Meter holds device scalars lazily and fetches once per window; rates
+    are reported per second of window wall time."""
+    import logging as _logging
+    from ultra_torchdrug_tpu.utils.logging import Meter
+
+    records = []
+
+    class _Capture(_logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    logger = _logging.getLogger("test_meter_lazy")
+    logger.setLevel(_logging.INFO)
+    logger.addHandler(_Capture())
+    meter = Meter(logger, log_interval=3)
+    for i in range(3):
+        meter.update({"loss": jnp.float32(i)}, rates={"edges": 100})
+    assert len(records) == 1  # window flushed exactly once
+    assert "loss: 1" in records[0]  # mean(0,1,2)
+    assert "edges" in records[0]
+    assert meter._count == 0  # window reset
+    # plain floats still work
+    meter.update({"loss": 2.0})
+    meter.log_window()
+    assert "loss: 2" in records[-1]

@@ -10,9 +10,7 @@ XLA inserts the gradient psums.
 
 from __future__ import annotations
 
-import math
 import os
-import time
 from typing import Optional
 
 import jax
@@ -152,15 +150,16 @@ class Engine:
                         reps = -(-self.batch_size // len(batch))
                         batch = np.tile(batch, (reps, 1))[: self.batch_size]
                     step_fn = self._get_step_fn(gid)
-                    t0 = time.time()
                     self.params, self.opt_state, metrics = step_fn(
                         self.params, self.opt_state, self._next_key(),
                         jnp.asarray(batch), None,
                     )
-                    metrics["edges_per_s"] = self._edges_per_step(gid) / max(
-                        time.time() - t0, 1e-9
+                    # metrics stay on device until the meter's window fetch —
+                    # the loop never blocks, so batch prep + dispatch overlap
+                    # the device step
+                    self.meter.update(
+                        metrics, rates={"edges_per_s": self._edges_per_step(gid)}
                     )
-                    self.meter.update(metrics)
             else:
                 triples = task.train_triples
                 order = self.rng.permutation(len(triples))
@@ -175,15 +174,13 @@ class Engine:
                         )
                     batch = triples[idx]
                     sw = task.sample_weight_for(batch)
-                    t0 = time.time()
                     self.params, self.opt_state, metrics = step_fn(
                         self.params, self.opt_state, self._next_key(),
                         jnp.asarray(batch), sw,
                     )
-                    metrics["edges_per_s"] = self._edges_per_step() / max(
-                        time.time() - t0, 1e-9
+                    self.meter.update(
+                        metrics, rates={"edges_per_s": self._edges_per_step()}
                     )
-                    self.meter.update(metrics)
             self.meter.log_window()
             self.logger.info(f"epoch {self.epoch} done")
         if profiling:

@@ -41,7 +41,12 @@ def get_root_logger(log_file: str | None = "log.txt") -> logging.Logger:
 
 class Meter:
     """Accumulates step metrics; reports window averages every log_interval
-    updates and epoch summaries on demand."""
+    updates and epoch summaries on demand.
+
+    Metric values may be device (jax) scalars: they are held lazily and
+    fetched in ONE batched device_get per log window, so the train loop never
+    blocks on per-step metric transfers (over the remote-TPU tunnel a per-step
+    float() costs a full round trip and serializes host against device)."""
 
     def __init__(self, logger: logging.Logger, log_interval: int = 100):
         self.logger = logger
@@ -51,24 +56,44 @@ class Meter:
         self.global_step = 0
 
     def reset(self):
-        self._sums = defaultdict(float)
-        self._count = 0
+        self._pending = []  # list of step metric dicts (values possibly lazy)
+        self._rates = defaultdict(float)  # summed counts -> count/window_dt
         self._t0 = time.time()
 
-    def update(self, metrics: dict):
+    @property
+    def _count(self):
+        return len(self._pending)
+
+    def update(self, metrics: dict, rates: dict | None = None):
+        """`metrics` are averaged over the window. `rates` are summed counts
+        reported as count-per-second of window wall time (e.g. propagated
+        edges), which measures true device throughput rather than per-step
+        host dispatch time."""
         self.global_step += 1
-        for k, v in metrics.items():
-            self._sums[k] += float(v)
-        self._count += 1
-        if self._count % self.log_interval == 0:
+        self._pending.append(dict(metrics))
+        for k, v in (rates or {}).items():
+            self._rates[k] += v
+        if len(self._pending) % self.log_interval == 0:
             self.log_window()
 
     def log_window(self):
-        if not self._count:
+        if not self._pending:
             return
+        import jax
+
+        fetched = jax.device_get(self._pending)  # one transfer for the window
         dt = time.time() - self._t0
-        rate = self._count / dt if dt > 0 else 0.0
-        parts = [f"{k}: {v / self._count:.6g}" for k, v in sorted(self._sums.items())]
+        n = len(fetched)
+        sums = defaultdict(float)
+        for step in fetched:
+            for k, v in step.items():
+                sums[k] += float(v)
+        rate = n / dt if dt > 0 else 0.0
+        parts = [f"{k}: {v / n:.6g}" for k, v in sorted(sums.items())]
+        parts += [
+            f"{k}: {v / dt if dt > 0 else 0.0:.6g}"
+            for k, v in sorted(self._rates.items())
+        ]
         self.logger.info(
             f"step {self.global_step} | {' | '.join(parts)} | {rate:.2f} it/s"
         )
