@@ -250,10 +250,25 @@ class _TaskBase:
                 chunk = np.concatenate([chunk, np.repeat(chunk[:1], pad, 0)], 0)
             key = jax.random.fold_in(jax.random.PRNGKey(1024), start)
             ranking, num_cand = eval_fn(params, jnp.asarray(chunk), key)
-            rankings.append(np.asarray(ranking)[: batch_size - pad])
-            cands.append(np.asarray(num_cand)[: batch_size - pad])
-        ranking = np.concatenate(rankings, 0) if rankings else np.zeros((0, 2), np.int32)
-        cand = np.concatenate(cands, 0) if cands else np.zeros((0, 2), np.float32)
+            # keep results on device: fetching here would block the host on
+            # every batch and stall dispatch of the next one (per-batch
+            # round trips are 15-40 ms over the remote-TPU tunnel); the
+            # whole split's rankings are fetched in ONE device_get below
+            rankings.append((ranking, batch_size - pad))
+            cands.append(num_cand)
+        fetched = jax.device_get([r for r, _ in rankings] + cands)
+        ranking = (
+            np.concatenate(
+                [np.asarray(r)[:keep] for r, (_, keep) in
+                 zip(fetched[: len(rankings)], rankings)], 0)
+            if rankings else np.zeros((0, 2), np.int32)
+        )
+        cand = (
+            np.concatenate(
+                [np.asarray(cb)[:keep] for cb, (_, keep) in
+                 zip(fetched[len(rankings):], rankings)], 0)
+            if cands else np.zeros((0, 2), np.float32)
+        )
         return (dist.gather_rankings(ranking, total),
                 dist.gather_rankings(cand, total))
 
