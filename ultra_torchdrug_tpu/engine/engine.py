@@ -89,7 +89,14 @@ class Engine:
         if graph_id in self._step_fns:
             return self._step_fns[graph_id]
 
-        def step(params, opt_state, key, batch, sample_weight):
+        base_key = self._next_key()
+
+        def step(params, opt_state, step_idx, batch, sample_weight):
+            # key derivation lives INSIDE the jit: a host-side
+            # jax.random.split would be its own device dispatch every step
+            # (remote-TPU tunnels pay real latency per dispatch)
+            key = jax.random.fold_in(base_key, step_idx)
+
             def loss_fn(p):
                 if self._is_multigraph:
                     # the per-graph jitted loss inlines into this jit
@@ -151,7 +158,8 @@ class Engine:
                         batch = np.tile(batch, (reps, 1))[: self.batch_size]
                     step_fn = self._get_step_fn(gid)
                     self.params, self.opt_state, metrics = step_fn(
-                        self.params, self.opt_state, self._next_key(),
+                        self.params, self.opt_state,
+                        np.uint32(self.meter.global_step),
                         jnp.asarray(batch), None,
                     )
                     # metrics stay on device until the meter's window fetch —
@@ -175,7 +183,8 @@ class Engine:
                     batch = triples[idx]
                     sw = task.sample_weight_for(batch)
                     self.params, self.opt_state, metrics = step_fn(
-                        self.params, self.opt_state, self._next_key(),
+                        self.params, self.opt_state,
+                        np.uint32(self.meter.global_step),
                         jnp.asarray(batch), sw,
                     )
                     self.meter.update(
