@@ -192,6 +192,51 @@ def make_kernel(variant: str, num_chunks: int):
                 out_ref[pl.ds(d_last, 1)] + (total - mark_ref[...])[None])
             return
 
+        if variant.startswith("v6_packed"):
+            # multiacc with PACKED metadata: one SMEM load per edge decoded
+            # with shifts/masks (idx<<18 | rel<<8 | row_local) instead of
+            # three separate SMEM loads — measures the scalar-load share of
+            # the per-edge floor. Packing fits whenever
+            # bits(idx)+bits(rel)+8 <= 31 (true for FB-scale workloads).
+            UN = int(variant.rsplit("packed", 1)[1] or 8)
+
+            def body(q, carry):
+                d_prev, *accs = carry
+                accs = list(accs)
+                for j in range(UN):
+                    i = q * UN + j
+                    m = mbuf[slot, 0, i]
+                    xrow = data_ref[m >> 18]
+                    w = wbuf[slot, 0, i]
+                    d = m & 255
+                    flush = d != d_prev
+
+                    @pl.when(flush)
+                    def _(d_prev=d_prev, accs=tuple(accs)):
+                        total = accs[0]
+                        for k in range(1, UN):
+                            total = total + accs[k]
+                        out_ref[pl.ds(d_prev, 1)] = (
+                            out_ref[pl.ds(d_prev, 1)]
+                            + (total - mark_ref[...])[None]
+                        )
+                        mark_ref[...] = total
+
+                    msg = rel_ref[(m >> 8) & 1023] * xrow
+                    accs[j] = accs[j] + msg * w
+                    d_prev = d
+                return (d_prev, *accs)
+
+            z = jnp.zeros(out_ref.shape[1:], jnp.float32)
+            d_last, *accs = jax.lax.fori_loop(
+                0, te // UN, body, (0,) + (z,) * UN)
+            total = accs[0]
+            for k in range(1, UN):
+                total = total + accs[k]
+            out_ref[pl.ds(d_last, 1)] = (
+                out_ref[pl.ds(d_last, 1)] + (total - mark_ref[...])[None])
+            return
+
         # v0_current: the shipped telescoping add path
         def body(i, carry):
             d_prev, acc = carry
@@ -234,6 +279,9 @@ def run_variant(variant, E, runlen, F=4096, V=4096, R=480, te=8192, tv=256,
         meta[c, 1] = rng.integers(0, R, te)     # relation
         meta[c, 2] = np.sort(d)[:te]            # row_local
         meta[c, 3] = 1
+        if variant.startswith("v6_packed"):
+            assert V <= (1 << 13) and R <= (1 << 10) and tv <= 256
+            meta[c, 0] = (meta[c, 0] << 18) | (meta[c, 1] << 8) | meta[c, 2]
         cr[0, c] = 0
         cr[1, c] = 0
     cr[1, 0] = 1  # force out-block init on the first chunk
