@@ -51,6 +51,9 @@ class Graph:
     # optional per-shard layouts for the edge-partitioned multi-chip path
     # (parallel/sharded_rspmm.py::PartitionedRspmmLayouts); topology-pure too
     part_layouts: object = None
+    # optional ring buckets for the row-sharded O(V/n)-memory multi-chip path
+    # (parallel/ring_rspmm.py::RingRspmmInputs); topology-pure too
+    ring_inputs: object = None
     # optional dense per-etype adjacency [T, N, N] (A[t, d, s] = summed edge
     # weight) for the MXU spmm path (ops/dense.py) — only attached to small
     # dense graphs (relation graphs). Weights are FOLDED IN, so weight-only
@@ -254,6 +257,20 @@ class Graph:
             include_rel_layout=include_rel_layout,
         )
         return dataclasses.replace(self, part_layouts=part)
+
+    def prepare_ring(self, n_shards: int) -> "Graph":
+        """Attach edge buckets for the ring-pipelined ROW-SHARDED multi-chip
+        path (parallel/ring_rspmm.py): node states live sharded [V/n] per
+        chip and rotate over ICI, so peak node-state memory scales down with
+        the mesh — the path for graphs whose [V, B, D] states exceed one
+        chip's HBM."""
+        from ..parallel.ring_rspmm import build_ring_rspmm_inputs
+
+        ring = build_ring_rspmm_inputs(
+            self.host_edge_index(), self.host_edge_type(),
+            self.num_nodes, n_shards,
+        )
+        return dataclasses.replace(self, ring_inputs=ring)
 
     def prepare_dense(
         self,

@@ -53,7 +53,7 @@ class ConvConfig:
     activation: str = "relu"
     rel_mode: str = "injected"  # embedding | dependent | injected
     project: bool = True  # injected mode: per-layer MLP on relation vectors
-    rspmm_impl: str = "xla"  # xla | pallas
+    rspmm_impl: str = "xla"  # xla | pallas | ring (row-sharded multi-chip)
     edge_axis: str = ""  # mesh axis name for edge partitioning ("" = off)
     compute_dtype: str = "float32"  # bfloat16 = faster gathers, f32 accum
 
@@ -132,6 +132,15 @@ def _rotate_messages_aggregate(graph, rel, x, agg: str):
     return jax.ops.segment_sum(m, dst, num_segments=graph.num_nodes)
 
 
+def conv_flat_ok(cfg: ConvConfig) -> bool:
+    """Whether a layer can run on flat [V, B*D] activations: true for the
+    distmult/transe message functions with sum/mean/max aggregation (rotate
+    needs the complex split over D; PNA needs the [V,B,D,4] stat interleave)."""
+    base = cfg.aggregate_func.replace("_nobound", "")
+    return cfg.message_func in ("distmult", "transe") and base in (
+        "sum", "mean", "max")
+
+
 def conv_apply(
     params: dict,
     cfg: ConvConfig,
@@ -146,15 +155,32 @@ def conv_apply(
 
     Args:
       graph: data.Graph (already undirected+inverse where applicable)
-      x: [V, B, D] node states
-      boundary: [V, B, D] boundary condition (folded into aggregation)
+      x: [V, B, D] node states, or flat [V, B*D] (conv_flat_ok configs only:
+         flat is the rspmm kernels' native lane-aligned layout, skipping a
+         relayout copy per kernel boundary — D=64 tensors pad 64->128 lanes)
+      boundary: [V, B, D] boundary condition (folded into aggregation);
+         flat [V, B*D] when x is flat
       query: [B, Q] query vectors ("dependent" mode only)
       rel_injected: externally supplied relation reps ("injected" mode)
       edge_grad: route through the autodiff path so d(edge_weight) flows
         (path interpretability; mirrors layer.py:112's fallback condition)
-    Returns: [V, B, output_dim]
+    Returns: [V, B, output_dim] (flat [V, B*output_dim] for flat input)
     """
     rel = _relation_input(params, cfg, query, rel_injected)
+    flat = x.ndim == 2
+    if flat:
+        assert conv_flat_ok(cfg), cfg
+        Bflat = x.shape[1] // cfg.input_dim
+
+    def _rel_for_sparse(relation):
+        """Sparse-kernel relation operand: flat [R, B*D] when x is flat."""
+        if not flat:
+            return relation
+        if relation.ndim == 2:  # shared [R, D] -> broadcast flat
+            relation = jnp.broadcast_to(
+                relation[:, None, :], (relation.shape[0], Bflat, cfg.input_dim)
+            )
+        return relation.reshape(relation.shape[0], -1)
 
     def spmm(relation, xx, agg):
         out = _spmm_raw(relation, xx, agg)
@@ -175,6 +201,12 @@ def conv_apply(
             # max/min (non-decomposable) fall through to the sparse kernels.
             from ..ops.dense import dense_rspmm
 
+            if flat:
+                out = dense_rspmm(
+                    graph.dense_adj, relation,
+                    xx.reshape(xx.shape[0], Bflat, cfg.input_dim), msg=msg,
+                )
+                return out.reshape(out.shape[0], -1)
             return dense_rspmm(graph.dense_adj, relation, xx, msg=msg)
         if cfg.edge_axis and agg == "add" and not edge_grad:
             from ..parallel.mesh import current_mesh
@@ -185,27 +217,44 @@ def conv_apply(
 
             mesh = current_mesh()
             if mesh is not None and cfg.edge_axis in mesh.axis_names:
-                if (cfg.rspmm_impl == "pallas"
+                if flat:
+                    xx = xx.reshape(xx.shape[0], Bflat, cfg.input_dim)
+                if (cfg.rspmm_impl == "ring"
+                        and graph.ring_inputs is not None):
+                    from ..parallel.ring_rspmm import ring_rspmm
+
+                    out = ring_rspmm(
+                        graph.edge_weight, graph.ring_inputs, relation, xx,
+                        msg=msg, mesh=mesh, axis=cfg.edge_axis,
+                    )
+                elif (cfg.rspmm_impl == "pallas"
                         and graph.part_layouts is not None):
-                    return partitioned_rspmm_pallas(
+                    out = partitioned_rspmm_pallas(
                         graph.edge_weight, graph.part_layouts, relation, xx,
                         msg=msg, mesh=mesh, axis=cfg.edge_axis,
                     )
-                return sharded_rspmm(
-                    graph.edge_index, graph.edge_type, graph.edge_weight,
-                    relation, xx, msg=msg, num_nodes=graph.num_nodes,
-                    mesh=mesh, axis=cfg.edge_axis,
-                )
+                else:
+                    out = sharded_rspmm(
+                        graph.edge_index, graph.edge_type, graph.edge_weight,
+                        relation, xx, msg=msg, num_nodes=graph.num_nodes,
+                        mesh=mesh, axis=cfg.edge_axis,
+                    )
+                return out.reshape(out.shape[0], -1) if flat else out
+        # "ring" is a mesh-only impl; off-mesh (or for the paths the ring
+        # doesn't cover) fall back to the best single-chip kernel available
+        impl = cfg.rspmm_impl
+        if impl == "ring":
+            impl = "pallas" if graph.layouts is not None else "xla"
         return generalized_rspmm(
             graph.edge_index,
             graph.edge_type,
             graph.edge_weight,
-            relation,
+            _rel_for_sparse(relation),
             xx,
             msg=msg,
             agg=agg,
             num_nodes=graph.num_nodes,
-            impl=cfg.rspmm_impl,
+            impl=impl,
             layouts=graph.layouts,
             edge_grad=edge_grad,
             compute_dtype=cfg.compute_dtype,
@@ -214,7 +263,8 @@ def conv_apply(
     agg = cfg.aggregate_func
     base = agg.replace("_nobound", "")
     bounded = not agg.endswith("_nobound")
-    degree = graph.degree_out()[:, None, None] + 1.0  # [V,1,1]
+    degree = graph.degree_out() + 1.0
+    degree = degree[:, None] if flat else degree[:, None, None]
 
     if base == "sum":
         update = spmm(rel, x, "add")
@@ -267,10 +317,12 @@ def conv_apply(
     # materialized (measured -1.2 ms/layer at FB scale;
     # script/diagnostics/layout_micro.py)
     w = params["linear"]["w"]
-    din = x.shape[-1]
+    din = cfg.input_dim if flat else x.shape[-1]
+    x3 = x.reshape(x.shape[0], -1, din) if flat else x
+    u3 = update.reshape(update.shape[0], -1, din) if flat else update
     out = (
-        jnp.dot(x, w[:din], precision=jax.lax.Precision.HIGHEST)
-        + jnp.dot(update, w[din:], precision=jax.lax.Precision.HIGHEST)
+        jnp.dot(x3, w[:din], precision=jax.lax.Precision.HIGHEST)
+        + jnp.dot(u3, w[din:], precision=jax.lax.Precision.HIGHEST)
         + params["linear"]["b"]
     )
     if cfg.layer_norm:
@@ -279,4 +331,4 @@ def conv_apply(
         out = jax.nn.relu(out)
     elif cfg.activation and cfg.activation != "none":
         out = getattr(jax.nn, cfg.activation)(out)
-    return out
+    return out.reshape(out.shape[0], -1) if flat else out

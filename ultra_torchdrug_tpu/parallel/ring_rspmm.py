@@ -1,0 +1,281 @@
+"""Ring-pipelined edge-partitioned rspmm: O(V/n) node-state memory per chip.
+
+The other multi-chip paths (parallel/sharded_rspmm.py) keep node states
+REPLICATED — every chip holds the full [V, B, D] x (and the all-gathered
+output), so the largest reachable graph is bounded by one chip's HBM. This op
+removes that bound, the boundary-exchange north star of SURVEY.md §2c (the
+reference has no model-parallel story at all — it replicates the full graph
+per GPU, /root/reference/ultra/engine.py:55-60):
+
+  * x lives ROW-SHARDED over the mesh axis: chip s holds only block s
+    ([V/n, B, D]); the output is produced row-sharded the same way.
+  * Edges are bucketed host-side by (owner dst block, src block). The op runs
+    n ring steps: at step k chip s holds x block (s-k) mod n, aggregates its
+    bucket for that source block into its own output block with local XLA
+    segment ops, and `ppermute`s the held block to its neighbor. Because the
+    permuted block is only consumed one step later, XLA's async collectives
+    overlap each transfer with the current step's aggregation — communication
+    rides ICI behind compute.
+  * n-1 permutes of [V/n, B·D] move the same total bytes as one all-gather of
+    x, but no chip ever materializes more than TWO blocks (held + in-flight),
+    so peak node-state memory per chip is O(V/n) instead of O(V).
+
+Backward is the transposed ring: d_input owner s (src block s) rotates the
+upstream gradient's dst blocks with the mirrored bucket family, producing dx
+row-sharded; d_relation partials ride the same steps (the chip's own x block
+is exactly what the SDDMM needs) and end in one [R, ...] psum — the only
+non-ring collective, ~V/R smaller than any node-state tensor.
+
+agg='add' (the configuration every shipped ULTRA config trains with); weights
+stay one replicated [E] vector re-gathered by global edge_id, so per-batch
+easy-edge masks need no sharded bookkeeping (CLAUDE.md layout invariant).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RingBuckets:
+    """One direction's edge buckets: arrays [n, n, Emax] indexed
+    [owner block, held block, edge]. `gather_local` indexes the rotating
+    held block; `out_local` the owner's output block; `edge_id` is GLOBAL
+    (weight re-gather); valid=0 marks padding."""
+
+    gather_local: jnp.ndarray
+    out_local: jnp.ndarray
+    etype: jnp.ndarray
+    edge_id: jnp.ndarray
+    valid: jnp.ndarray
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RingRspmmInputs:
+    fwd: RingBuckets  # owner = dst block, held/gather = src block (x ring)
+    rev: RingBuckets  # owner = src block, held/gather = dst block (g ring)
+    v_block: int = dataclasses.field(default=0, metadata=dict(static=True))
+    n_shards: int = dataclasses.field(default=1, metadata=dict(static=True))
+    num_nodes: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+
+def build_ring_rspmm_inputs(
+    edge_index, edge_type, num_nodes: int, n_shards: int
+) -> RingRspmmInputs:
+    """Host-side bucket build (numpy; one device_put at the end).
+
+    Buckets are padded to the max size over all (owner, held) pairs so the
+    stacked arrays are static-shape. Contiguous equal row blocks can be
+    edge-imbalanced on hub-heavy graphs — degree-balanced block boundaries
+    are the roadmap refinement (parallel/DESIGN.md)."""
+    ei = np.asarray(edge_index)
+    et = np.asarray(edge_type, np.int32)
+    src, dst = ei[:, 0].astype(np.int64), ei[:, 1].astype(np.int64)
+    n = n_shards
+    vb = -(-num_nodes // n)
+
+    def family(owner_key, held_key, gather_key, out_key):
+        sel = [[None] * n for _ in range(n)]
+        emax = 1
+        for s in range(n):
+            own = owner_key // vb == s
+            for b in range(n):
+                ids = np.nonzero(own & (held_key // vb == b))[0]
+                sel[s][b] = ids
+                emax = max(emax, len(ids))
+        emax = -(-emax // 8) * 8
+        g_l = np.zeros((n, n, emax), np.int32)
+        o_l = np.zeros((n, n, emax), np.int32)
+        ety = np.zeros((n, n, emax), np.int32)
+        eid = np.zeros((n, n, emax), np.int32)
+        val = np.zeros((n, n, emax), np.float32)
+        for s in range(n):
+            for b in range(n):
+                ids = sel[s][b]
+                m = len(ids)
+                g_l[s, b, :m] = gather_key[ids] - b * vb
+                o_l[s, b, :m] = out_key[ids] - s * vb
+                ety[s, b, :m] = et[ids]
+                eid[s, b, :m] = ids
+                val[s, b, :m] = 1.0
+        return RingBuckets(
+            gather_local=g_l, out_local=o_l, etype=ety, edge_id=eid, valid=val
+        )
+
+    fwd = family(dst, src, src, dst)
+    rev = family(src, dst, dst, src)
+    return jax.device_put(
+        RingRspmmInputs(
+            fwd=fwd, rev=rev, v_block=vb, n_shards=n, num_nodes=int(num_nodes)
+        )
+    )
+
+
+def _bucket_at(buckets: RingBuckets, b) -> RingBuckets:
+    """Local [n, Emax] bucket stack -> the held-block-b slice (b traced)."""
+    return jax.tree_util.tree_map(lambda a: a[b], buckets)
+
+
+def _messages(relation, etype, rows, msg: str):
+    """rows: gathered [E, ...] states; relation [R, D] or [R, B, D]."""
+    if relation.ndim == 3:  # per-batch relation reps [R, B, D]
+        rel_e = relation[etype]
+    else:
+        rel_e = relation[etype]
+        if rows.ndim == 3:
+            rel_e = rel_e[:, None, :]
+    if msg == "mul":
+        return rel_e * rows
+    if msg == "add":
+        return rel_e + rows
+    raise ValueError(msg)
+
+
+@lru_cache(maxsize=None)
+def _make_ring_rspmm(
+    msg: str, num_nodes: int, v_block: int, n_shards: int, mesh: Mesh, axis: str
+):
+    espec = P(axis)
+    rep = P()
+    n = n_shards
+    vb = v_block
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def _wshape(w, like):
+        return w.reshape((-1,) + (1,) * (like.ndim - 1))
+
+    def fwd_body(edge_weight, fwd_bk, relation, x_blk):
+        # shard_map local views: bucket stacks arrive [1, n, Emax] (leading
+        # owner dim sharded away); x arrives as the bare [vb, ...] block
+        bks = jax.tree_util.tree_map(lambda a: a[0], fwd_bk)
+        s = jax.lax.axis_index(axis)
+        x_rot = x_blk
+        out = jnp.zeros((vb,) + x_rot.shape[1:], x_rot.dtype)
+        for k in range(n):
+            bk = _bucket_at(bks, jax.lax.rem(s - k + n, n))
+            w = edge_weight[bk.edge_id] * bk.valid
+            m = _messages(relation, bk.etype, x_rot[bk.gather_local], msg)
+            out = out + jax.ops.segment_sum(
+                m * _wshape(w, m), bk.out_local, num_segments=vb
+            )
+            if k + 1 < n:
+                # consumed only next step: XLA overlaps the transfer with
+                # this step's segment ops (async collectives)
+                x_rot = jax.lax.ppermute(x_rot, axis, perm)
+        return out
+
+    fwd_sm = shard_map(
+        fwd_body, mesh=mesh, in_specs=(rep, espec, rep, espec),
+        out_specs=espec, check_vma=False,
+    )
+
+    def bwd_body(edge_weight, rev_bk, relation, x_blk, g_blk):
+        bks = jax.tree_util.tree_map(lambda a: a[0], rev_bk)
+        s = jax.lax.axis_index(axis)
+        x_own = x_blk  # this chip's own x block: the SDDMM operand
+        g_rot = g_blk
+        dx = jnp.zeros((vb,) + x_own.shape[1:], x_own.dtype)
+        dr = None
+        for k in range(n):
+            bk = _bucket_at(bks, jax.lax.rem(s - k + n, n))
+            w = edge_weight[bk.edge_id] * bk.valid
+            g_rows = g_rot[bk.gather_local]
+            gw = g_rows * _wshape(w, g_rows)
+            if msg == "mul":
+                if relation.ndim == 3:
+                    rel_e = relation[bk.etype]
+                else:
+                    rel_e = relation[bk.etype]
+                    if gw.ndim == 3:
+                        rel_e = rel_e[:, None, :]
+                dx_e = rel_e * gw
+                dr_e = x_own[bk.out_local] * gw
+            else:  # transe: dmsg/dx = dmsg/drel = 1
+                dx_e = gw
+                dr_e = gw
+            dx = dx + jax.ops.segment_sum(dx_e, bk.out_local, num_segments=vb)
+            dr_p = jax.ops.segment_sum(
+                dr_e, bk.etype, num_segments=relation.shape[0]
+            )
+            dr = dr_p if dr is None else dr + dr_p
+            if k + 1 < n:
+                g_rot = jax.lax.ppermute(g_rot, axis, perm)
+        if relation.ndim < dr.ndim:
+            dr = dr.sum(axis=tuple(range(1, dr.ndim - relation.ndim + 1)))
+        return jax.lax.psum(dr, axis), dx
+
+    bwd_sm = shard_map(
+        bwd_body, mesh=mesh, in_specs=(rep, espec, rep, espec, espec),
+        out_specs=(rep, espec), check_vma=False,
+    )
+
+    v_pad = vb * n
+
+    def _pad_rows(arr):
+        if arr.shape[0] == v_pad:
+            return arr
+        return jnp.concatenate(
+            [arr, jnp.zeros((v_pad - arr.shape[0],) + arr.shape[1:], arr.dtype)],
+            0,
+        )
+
+    @jax.custom_vjp
+    def rspmm(edge_weight, inputs, relation, x):
+        out = fwd_sm(edge_weight, inputs.fwd, relation, _pad_rows(x))
+        return out[:num_nodes]
+
+    def vjp_fwd(edge_weight, inputs, relation, x):
+        return rspmm(edge_weight, inputs, relation, x), (
+            edge_weight, inputs, relation, x,
+        )
+
+    def vjp_bwd(res, g):
+        edge_weight, inputs, relation, x = res
+        dr, dx_pad = bwd_sm(
+            edge_weight, inputs.rev, relation, _pad_rows(x), _pad_rows(g)
+        )
+        dx = dx_pad[: x.shape[0]]
+
+        def zeros(leaf):
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                return jnp.zeros_like(leaf)
+            return jnp.zeros(leaf.shape, dtype=jax.dtypes.float0)
+
+        return (
+            jnp.zeros_like(edge_weight),
+            jax.tree_util.tree_map(zeros, inputs),
+            dr,
+            dx,
+        )
+
+    rspmm.defvjp(vjp_fwd, vjp_bwd)
+    return rspmm
+
+
+def ring_rspmm(
+    edge_weight,
+    inputs: RingRspmmInputs,
+    relation,
+    x,
+    *,
+    msg: str,
+    mesh: Mesh,
+    axis: str = "edge",
+):
+    """AGG='add' rspmm with ring-pipelined row-sharded node states (module
+    banner). edge_weight: replicated [E]; relation replicated; x [V, ...]
+    (consumed row-sharded along `axis`; a replicated x is sliced on entry).
+    Returns [V, ...] row-sharded the same way."""
+    fn = _make_ring_rspmm(
+        msg, inputs.num_nodes, inputs.v_block, inputs.n_shards, mesh, axis
+    )
+    return fn(edge_weight, inputs, relation, x)
