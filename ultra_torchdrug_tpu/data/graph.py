@@ -258,17 +258,22 @@ class Graph:
         )
         return dataclasses.replace(self, part_layouts=part)
 
-    def prepare_ring(self, n_shards: int) -> "Graph":
+    def prepare_ring(
+        self, n_shards: int, pallas: bool = False,
+        tile_rows: int = 256, tile_edges: int = 256,
+    ) -> "Graph":
         """Attach edge buckets for the ring-pipelined ROW-SHARDED multi-chip
         path (parallel/ring_rspmm.py): node states live sharded [V/n] per
         chip and rotate over ICI, so peak node-state memory scales down with
         the mesh — the path for graphs whose [V, B, D] states exceed one
-        chip's HBM."""
+        chip's HBM. pallas=True additionally builds per-bucket CSR layouts
+        so each ring step runs the fused gather kernels (msg='mul')."""
         from ..parallel.ring_rspmm import build_ring_rspmm_inputs
 
         ring = build_ring_rspmm_inputs(
             self.host_edge_index(), self.host_edge_type(),
-            self.num_nodes, n_shards,
+            self.num_nodes, n_shards, pallas=pallas,
+            tile_rows=tile_rows, tile_edges=tile_edges,
         )
         return dataclasses.replace(self, ring_inputs=ring)
 

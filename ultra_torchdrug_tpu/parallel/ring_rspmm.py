@@ -63,20 +63,32 @@ class RingBuckets:
 class RingRspmmInputs:
     fwd: RingBuckets  # owner = dst block, held/gather = src block (x ring)
     rev: RingBuckets  # owner = src block, held/gather = dst block (g ring)
+    # optional per-bucket CSR layouts for running the fused Pallas kernels
+    # inside each ring step (msg='mul'): CsrLayout pytrees with leaves
+    # stacked [n_owner, n_held, ...]; edge_id global like the buckets'
+    fwd_lay: object = None
+    rev_lay: object = None
     v_block: int = dataclasses.field(default=0, metadata=dict(static=True))
     n_shards: int = dataclasses.field(default=1, metadata=dict(static=True))
     num_nodes: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
 def build_ring_rspmm_inputs(
-    edge_index, edge_type, num_nodes: int, n_shards: int
+    edge_index, edge_type, num_nodes: int, n_shards: int,
+    pallas: bool = False, tile_rows: int = 256, tile_edges: int = 256,
 ) -> RingRspmmInputs:
     """Host-side bucket build (numpy; one device_put at the end).
 
     Buckets are padded to the max size over all (owner, held) pairs so the
     stacked arrays are static-shape. Contiguous equal row blocks can be
     edge-imbalanced on hub-heavy graphs — degree-balanced block boundaries
-    are the roadmap refinement (parallel/DESIGN.md)."""
+    are the roadmap refinement (parallel/DESIGN.md).
+
+    pallas=True additionally builds per-bucket CSR layouts so the ring steps
+    run the fused gather kernels (O(vb·F) memory per step) instead of XLA
+    segment ops (which materialize the bucket's [Emax, ...] messages)."""
+    from ..ops.csr import _remap_edge_id, build_layout, pad_layout_chunks
+
     ei = np.asarray(edge_index)
     et = np.asarray(edge_type, np.int32)
     src, dst = ei[:, 0].astype(np.int64), ei[:, 1].astype(np.int64)
@@ -107,15 +119,42 @@ def build_ring_rspmm_inputs(
                 ety[s, b, :m] = et[ids]
                 eid[s, b, :m] = ids
                 val[s, b, :m] = 1.0
-        return RingBuckets(
+        buckets = RingBuckets(
             gather_local=g_l, out_local=o_l, etype=ety, edge_id=eid, valid=val
         )
+        if not pallas:
+            return buckets, None
+        lays = []
+        for s in range(n):
+            row = []
+            for b in range(n):
+                ids = sel[s][b]
+                lay = build_layout(
+                    (out_key[ids] - s * vb).astype(np.int32),
+                    (gather_key[ids] - b * vb).astype(np.int32),
+                    et[ids], vb,
+                    tile_rows=min(tile_rows, max(8, -(-vb // 8) * 8)),
+                    tile_edges=tile_edges,
+                )
+                if len(ids):
+                    lay = _remap_edge_id(lay, ids.astype(np.int32))
+                row.append(lay)
+            lays.append(row)
+        cmax = max(l.num_chunks for row in lays for l in row)
+        lays = [[pad_layout_chunks(l, cmax) for l in row] for row in lays]
+        stacked = jax.tree_util.tree_map(
+            lambda *leaves: np.stack(leaves),
+            *[jax.tree_util.tree_map(lambda *ls: np.stack(ls), *row)
+              for row in lays],
+        )
+        return buckets, stacked
 
-    fwd = family(dst, src, src, dst)
-    rev = family(src, dst, dst, src)
+    fwd, fwd_lay = family(dst, src, src, dst)
+    rev, rev_lay = family(src, dst, dst, src)
     return jax.device_put(
         RingRspmmInputs(
-            fwd=fwd, rev=rev, v_block=vb, n_shards=n, num_nodes=int(num_nodes)
+            fwd=fwd, rev=rev, fwd_lay=fwd_lay, rev_lay=rev_lay,
+            v_block=vb, n_shards=n, num_nodes=int(num_nodes),
         )
     )
 
@@ -142,7 +181,8 @@ def _messages(relation, etype, rows, msg: str):
 
 @lru_cache(maxsize=None)
 def _make_ring_rspmm(
-    msg: str, num_nodes: int, v_block: int, n_shards: int, mesh: Mesh, axis: str
+    msg: str, num_nodes: int, v_block: int, n_shards: int, mesh: Mesh,
+    axis: str, use_pallas: bool = False,
 ):
     espec = P(axis)
     rep = P()
@@ -153,20 +193,33 @@ def _make_ring_rspmm(
     def _wshape(w, like):
         return w.reshape((-1,) + (1,) * (like.ndim - 1))
 
-    def fwd_body(edge_weight, fwd_bk, relation, x_blk):
+    def fwd_body(edge_weight, fwd_bk, fwd_lay, relation, x_blk):
         # shard_map local views: bucket stacks arrive [1, n, Emax] (leading
         # owner dim sharded away); x arrives as the bare [vb, ...] block
         bks = jax.tree_util.tree_map(lambda a: a[0], fwd_bk)
         s = jax.lax.axis_index(axis)
         x_rot = x_blk
-        out = jnp.zeros((vb,) + x_rot.shape[1:], x_rot.dtype)
+        out = jnp.zeros((vb,) + x_rot.shape[1:], jnp.float32)
         for k in range(n):
-            bk = _bucket_at(bks, jax.lax.rem(s - k + n, n))
-            w = edge_weight[bk.edge_id] * bk.valid
-            m = _messages(relation, bk.etype, x_rot[bk.gather_local], msg)
-            out = out + jax.ops.segment_sum(
-                m * _wshape(w, m), bk.out_local, num_segments=vb
-            )
+            b = jax.lax.rem(s - k + n, n)
+            if use_pallas:
+                # fused gather kernel over this bucket's CSR layout:
+                # O(vb·F) memory (no [Emax, ...] message materialization)
+                from ..ops.csr import RspmmLayouts
+                from ..ops.rspmm_pallas import rspmm_fwd_pallas
+
+                lay_b = jax.tree_util.tree_map(lambda a: a[0][b], fwd_lay)
+                out = out + rspmm_fwd_pallas(
+                    RspmmLayouts(fwd=lay_b, rev=None), edge_weight,
+                    relation, x_rot, msg=msg, num_nodes=vb,
+                )
+            else:
+                bk = _bucket_at(bks, b)
+                w = edge_weight[bk.edge_id] * bk.valid
+                m = _messages(relation, bk.etype, x_rot[bk.gather_local], msg)
+                out = out + jax.ops.segment_sum(
+                    m * _wshape(w, m), bk.out_local, num_segments=vb
+                )
             if k + 1 < n:
                 # consumed only next step: XLA overlaps the transfer with
                 # this step's segment ops (async collectives)
@@ -174,38 +227,52 @@ def _make_ring_rspmm(
         return out
 
     fwd_sm = shard_map(
-        fwd_body, mesh=mesh, in_specs=(rep, espec, rep, espec),
+        fwd_body, mesh=mesh, in_specs=(rep, espec, espec, rep, espec),
         out_specs=espec, check_vma=False,
     )
 
-    def bwd_body(edge_weight, rev_bk, relation, x_blk, g_blk):
+    def bwd_body(edge_weight, rev_bk, rev_lay, relation, x_blk, g_blk):
         bks = jax.tree_util.tree_map(lambda a: a[0], rev_bk)
         s = jax.lax.axis_index(axis)
         x_own = x_blk  # this chip's own x block: the SDDMM operand
         g_rot = g_blk
-        dx = jnp.zeros((vb,) + x_own.shape[1:], x_own.dtype)
+        dx = jnp.zeros((vb,) + x_own.shape[1:], jnp.float32)
         dr = None
         for k in range(n):
-            bk = _bucket_at(bks, jax.lax.rem(s - k + n, n))
-            w = edge_weight[bk.edge_id] * bk.valid
-            g_rows = g_rot[bk.gather_local]
-            gw = g_rows * _wshape(w, g_rows)
-            if msg == "mul":
-                if relation.ndim == 3:
-                    rel_e = relation[bk.etype]
-                else:
-                    rel_e = relation[bk.etype]
-                    if gw.ndim == 3:
-                        rel_e = rel_e[:, None, :]
-                dx_e = rel_e * gw
-                dr_e = x_own[bk.out_local] * gw
-            else:  # transe: dmsg/dx = dmsg/drel = 1
-                dx_e = gw
-                dr_e = gw
-            dx = dx + jax.ops.segment_sum(dx_e, bk.out_local, num_segments=vb)
-            dr_p = jax.ops.segment_sum(
-                dr_e, bk.etype, num_segments=relation.shape[0]
-            )
+            b = jax.lax.rem(s - k + n, n)
+            if use_pallas:
+                from ..ops.csr import RspmmLayouts
+                from ..ops.rspmm_pallas import rspmm_bwd_pallas
+
+                lay_b = jax.tree_util.tree_map(lambda a: a[0][b], rev_lay)
+                dr_p, dx_p = rspmm_bwd_pallas(
+                    RspmmLayouts(fwd=None, rev=lay_b), edge_weight,
+                    relation, x_own, g_rot, msg=msg,
+                )
+                dx = dx + dx_p
+            else:
+                bk = _bucket_at(bks, b)
+                w = edge_weight[bk.edge_id] * bk.valid
+                g_rows = g_rot[bk.gather_local]
+                gw = g_rows * _wshape(w, g_rows)
+                if msg == "mul":
+                    if relation.ndim == 3:
+                        rel_e = relation[bk.etype]
+                    else:
+                        rel_e = relation[bk.etype]
+                        if gw.ndim == 3:
+                            rel_e = rel_e[:, None, :]
+                    dx_e = rel_e * gw
+                    dr_e = x_own[bk.out_local] * gw
+                else:  # transe: dmsg/dx = dmsg/drel = 1
+                    dx_e = gw
+                    dr_e = gw
+                dx = dx + jax.ops.segment_sum(
+                    dx_e, bk.out_local, num_segments=vb
+                )
+                dr_p = jax.ops.segment_sum(
+                    dr_e, bk.etype, num_segments=relation.shape[0]
+                )
             dr = dr_p if dr is None else dr + dr_p
             if k + 1 < n:
                 g_rot = jax.lax.ppermute(g_rot, axis, perm)
@@ -214,7 +281,7 @@ def _make_ring_rspmm(
         return jax.lax.psum(dr, axis), dx
 
     bwd_sm = shard_map(
-        bwd_body, mesh=mesh, in_specs=(rep, espec, rep, espec, espec),
+        bwd_body, mesh=mesh, in_specs=(rep, espec, espec, rep, espec, espec),
         out_specs=(rep, espec), check_vma=False,
     )
 
@@ -230,7 +297,9 @@ def _make_ring_rspmm(
 
     @jax.custom_vjp
     def rspmm(edge_weight, inputs, relation, x):
-        out = fwd_sm(edge_weight, inputs.fwd, relation, _pad_rows(x))
+        out = fwd_sm(
+            edge_weight, inputs.fwd, inputs.fwd_lay, relation, _pad_rows(x)
+        )
         return out[:num_nodes]
 
     def vjp_fwd(edge_weight, inputs, relation, x):
@@ -241,7 +310,8 @@ def _make_ring_rspmm(
     def vjp_bwd(res, g):
         edge_weight, inputs, relation, x = res
         dr, dx_pad = bwd_sm(
-            edge_weight, inputs.rev, relation, _pad_rows(x), _pad_rows(g)
+            edge_weight, inputs.rev, inputs.rev_lay, relation,
+            _pad_rows(x), _pad_rows(g)
         )
         dx = dx_pad[: x.shape[0]]
 
@@ -274,8 +344,13 @@ def ring_rspmm(
     """AGG='add' rspmm with ring-pipelined row-sharded node states (module
     banner). edge_weight: replicated [E]; relation replicated; x [V, ...]
     (consumed row-sharded along `axis`; a replicated x is sliced on entry).
-    Returns [V, ...] row-sharded the same way."""
+    Returns [V, ...] row-sharded the same way. When the inputs carry
+    per-bucket CSR layouts (build_ring_rspmm_inputs(pallas=True)) and
+    msg='mul', each ring step runs the fused Pallas kernels instead of XLA
+    segment ops."""
+    use_pallas = inputs.fwd_lay is not None and msg == "mul"
     fn = _make_ring_rspmm(
-        msg, inputs.num_nodes, inputs.v_block, inputs.n_shards, mesh, axis
+        msg, inputs.num_nodes, inputs.v_block, inputs.n_shards, mesh, axis,
+        use_pallas=use_pallas,
     )
     return fn(edge_weight, inputs, relation, x)
