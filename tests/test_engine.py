@@ -108,6 +108,54 @@ def test_multigraph_pretraining(tmp_path):
     assert set(m["per_graph"]) == {"g0", "g1"}
 
 
+def test_steps_per_call_matches_per_step_loop(tmp_path):
+    """steps_per_call=K chains K optimizer steps in one jit (lax.scan). With
+    bpe % K == 0 the batch schedule and RNG keys are identical to the K=1
+    loop, so the trained params must match."""
+    ds = synthetic_transductive(num_nodes=30, num_edges=220, num_relations=4)
+
+    def run(K):
+        task = TransductiveKGTask(
+            ds, tiny_model_cfg(ds.num_relations), tiny_task_cfg()
+        )
+        eng = Engine(task, batch_size=16, lr=5e-3, work_dir=str(tmp_path),
+                     log_interval=1000, seed=7, steps_per_call=K)
+        eng.train(num_epoch=1, batch_per_epoch=8)
+        assert eng.meter.global_step == 8
+        return eng.params
+
+    p1 = run(1)
+    p4 = run(4)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=2e-6)
+
+
+def test_steps_per_call_multigraph_and_weights(tmp_path):
+    # multigraph: one mixture draw per chunk; just exercises the chunked path
+    graphs = [
+        synthetic_transductive("g0", 30, 220, 4, seed=0),
+        synthetic_transductive("g1", 25, 180, 4, seed=1),
+    ]
+    task = MultiGraphPretrainTask(
+        JointDataset("joint", graphs), tiny_model_cfg(4), tiny_task_cfg()
+    )
+    eng = Engine(task, batch_size=16, work_dir=str(tmp_path),
+                 log_interval=1000, steps_per_call=3)
+    eng.train(num_epoch=1, batch_per_epoch=5)  # rounds up to 6 (whole chunks)
+    assert eng.meter.global_step == 6
+
+    # sample_weight rides the scan as stacked [K, B]
+    ds = synthetic_transductive(num_nodes=30, num_edges=200, num_relations=4)
+    task = TransductiveKGTask(
+        ds, tiny_model_cfg(ds.num_relations), tiny_task_cfg(sample_weight=True)
+    )
+    eng = Engine(task, batch_size=16, work_dir=str(tmp_path),
+                 log_interval=1000, steps_per_call=2)
+    eng.train(num_epoch=1, batch_per_epoch=4)
+    assert eng.meter.global_step == 4
+
+
 def test_sample_weight_path(tmp_path):
     ds = synthetic_transductive(num_nodes=30, num_edges=200, num_relations=4)
     task = TransductiveKGTask(

@@ -152,4 +152,5 @@ def build_engine(cfg: dict, task, work_dir: str = ".", seed: int = 1024) -> Engi
         seed=seed,
         work_dir=work_dir,
         mesh=mesh,
+        steps_per_call=int(eng_cfg.get("steps_per_call", 1)),
     )

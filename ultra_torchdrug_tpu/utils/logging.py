@@ -13,6 +13,8 @@ import sys
 import time
 from collections import defaultdict
 
+import numpy as np
+
 
 def get_root_logger(log_file: str | None = "log.txt") -> logging.Logger:
     logger = logging.getLogger("ultra_tpu")
@@ -56,24 +58,32 @@ class Meter:
         self.global_step = 0
 
     def reset(self):
-        self._pending = []  # list of step metric dicts (values possibly lazy)
+        self._pending = []  # list of (metric dict, step count); values lazy
+        self._steps = 0
         self._rates = defaultdict(float)  # summed counts -> count/window_dt
         self._t0 = time.time()
 
     @property
     def _count(self):
-        return len(self._pending)
+        return self._steps
 
     def update(self, metrics: dict, rates: dict | None = None):
         """`metrics` are averaged over the window. `rates` are summed counts
         reported as count-per-second of window wall time (e.g. propagated
         edges), which measures true device throughput rather than per-step
         host dispatch time."""
-        self.global_step += 1
-        self._pending.append(dict(metrics))
+        self.update_many(metrics, 1, rates)
+
+    def update_many(self, metrics: dict, n: int, rates: dict | None = None):
+        """Record `n` optimizer steps at once; each metric value is a stacked
+        [n] array (or a scalar when n == 1). Used by the engine's chunked step
+        (steps_per_call > 1), where one device dispatch covers n steps."""
+        self.global_step += n
+        self._steps += n
+        self._pending.append((dict(metrics), n))
         for k, v in (rates or {}).items():
             self._rates[k] += v
-        if len(self._pending) % self.log_interval == 0:
+        if self._steps >= self.log_interval:
             self.log_window()
 
     def log_window(self):
@@ -83,11 +93,11 @@ class Meter:
 
         fetched = jax.device_get(self._pending)  # one transfer for the window
         dt = time.time() - self._t0
-        n = len(fetched)
+        n = self._steps
         sums = defaultdict(float)
-        for step in fetched:
+        for step, _cnt in fetched:
             for k, v in step.items():
-                sums[k] += float(v)
+                sums[k] += float(np.sum(v))
         rate = n / dt if dt > 0 else 0.0
         parts = [f"{k}: {v / n:.6g}" for k, v in sorted(sums.items())]
         parts += [
