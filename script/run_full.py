@@ -90,26 +90,42 @@ def main(argv=None):
 
         setup_debug_hook()
     dataset = build_dataset(cfg["dataset"])
-    task = build_task(cfg["task"], dataset, rspmm_impl=cfg.get("rspmm_impl", "auto"),
-                      seed=args.seed)
-    engine = build_engine(cfg, task, work_dir=work_dir, seed=args.seed)
-    if "checkpoint" in cfg and cfg["checkpoint"] not in (None, "null", "None"):
-        engine.load(
-            os.path.expanduser(str(cfg["checkpoint"])),
-            fix_reasoner=bool(cfg.get("fix_reasoner", False)),
-        )
-    # the reference wraps the whole run in set_detect_anomaly(True)
-    # (run_full.py:127); the JAX analog (jax_debug_nans/infs) disables async
-    # dispatch, so it is opt-in here via `detect_anomaly: true` in the YAML
-    if cfg.get("detect_anomaly"):
-        from ultra_torchdrug_tpu.utils.debug import detect_anomaly
+    # multi-chip: `parallel: {data: N, edge: M}` builds the mesh; it must be
+    # active for the task build (graph partitioning happens at jit-build time)
+    # and for training/eval (the conv reads current_mesh() at trace time)
+    import contextlib
 
-        with detect_anomaly():
+    from ultra_torchdrug_tpu.engine.build import build_mesh
+    from ultra_torchdrug_tpu.parallel.mesh import use_mesh
+
+    mesh = build_mesh(cfg)
+    edge_axis = (
+        "edge" if mesh is not None and mesh.shape.get("edge", 1) > 1 else ""
+    )
+    with (mesh or contextlib.nullcontext()), use_mesh(mesh):
+        task = build_task(
+            cfg["task"], dataset, rspmm_impl=cfg.get("rspmm_impl", "auto"),
+            seed=args.seed, edge_axis=edge_axis,
+        )
+        engine = build_engine(cfg, task, work_dir=work_dir, seed=args.seed,
+                              mesh=mesh)
+        if "checkpoint" in cfg and cfg["checkpoint"] not in (None, "null", "None"):
+            engine.load(
+                os.path.expanduser(str(cfg["checkpoint"])),
+                fix_reasoner=bool(cfg.get("fix_reasoner", False)),
+            )
+        # the reference wraps the whole run in set_detect_anomaly(True)
+        # (run_full.py:127); the JAX analog (jax_debug_nans/infs) disables
+        # async dispatch, so it is opt-in via `detect_anomaly: true`
+        if cfg.get("detect_anomaly"):
+            from ultra_torchdrug_tpu.utils.debug import detect_anomaly
+
+            with detect_anomaly():
+                train_and_validate(cfg, engine, logger)
+                test(cfg, engine)
+        else:
             train_and_validate(cfg, engine, logger)
             test(cfg, engine)
-    else:
-        train_and_validate(cfg, engine, logger)
-        test(cfg, engine)
     return engine
 
 

@@ -113,13 +113,26 @@ def main():
             logger.info(f"=== {spec} rep {rep} seed {seed} ===")
             run_full.set_seed(seed)
             dataset = build_dataset(cfg["dataset"])
-            task = build_task(cfg["task"], dataset,
-                              rspmm_impl=cfg.get("rspmm_impl", "auto"), seed=seed)
-            engine = build_engine(cfg, task, work_dir=work_dir, seed=seed)
-            if args.ckpt and args.ckpt not in ("null", "None"):
-                engine.load(os.path.expanduser(args.ckpt))
-            run_full.train_and_validate(cfg, engine, logger)
-            metrics = engine.evaluate("test", fast_test=cfg.get("fast_test"))
+            import contextlib
+
+            from ultra_torchdrug_tpu.engine.build import build_mesh
+            from ultra_torchdrug_tpu.parallel.mesh import use_mesh
+
+            mesh = build_mesh(cfg)
+            edge_axis = ("edge" if mesh is not None
+                         and mesh.shape.get("edge", 1) > 1 else "")
+            with (mesh or contextlib.nullcontext()), use_mesh(mesh):
+                task = build_task(cfg["task"], dataset,
+                                  rspmm_impl=cfg.get("rspmm_impl", "auto"),
+                                  seed=seed, edge_axis=edge_axis)
+                engine = build_engine(cfg, task, work_dir=work_dir, seed=seed,
+                                      mesh=mesh)
+                if args.ckpt and args.ckpt not in ("null", "None"):
+                    engine.load(os.path.expanduser(args.ckpt))
+                run_full.train_and_validate(cfg, engine, logger)
+                metrics = engine.evaluate(
+                    "test", fast_test=cfg.get("fast_test")
+                )
             row = {"dataset": spec, "seed": seed,
                    **{k: v for k, v in metrics.items() if not isinstance(v, dict)}}
             rows.append(row)

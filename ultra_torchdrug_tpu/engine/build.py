@@ -37,7 +37,24 @@ def build_dataset(cfg_dataset: dict):
     return cls(**kwargs)
 
 
-def build_model_config(cfg_task: dict, num_relations: int, rspmm_impl: str = "auto"):
+def build_mesh(cfg: dict):
+    """Mesh from the top-level `parallel: {data: N, edge: M}` section (this
+    framework's multi-chip surface — the reference has DDP only) or the legacy
+    `engine.data_parallel`. Returns None for a 1x1 mesh."""
+    par = cfg.get("parallel") or {}
+    dp = int(par.get("data", 0) or 0)
+    ep = int(par.get("edge", 1) or 1)
+    if not dp:
+        dp = int(cfg.get("engine", {}).get("data_parallel", 0) or 0) or 1
+    if dp * ep <= 1:
+        return None
+    from ..parallel.mesh import make_mesh
+
+    return make_mesh(data=dp, edge=ep)
+
+
+def build_model_config(cfg_task: dict, num_relations: int, rspmm_impl: str = "auto",
+                       edge_axis: str = ""):
     impl = resolve_rspmm_impl(rspmm_impl)
     m = cfg_task["model"]
     entity = entity_nbfnet_config(
@@ -52,6 +69,7 @@ def build_model_config(cfg_task: dict, num_relations: int, rspmm_impl: str = "au
         num_mlp_layer=int(m.get("num_mlp_layer", 2)),
         project=bool(m.get("project", True)),
         rspmm_impl=impl,
+        edge_axis=edge_axis,
         remat=m.get("remat", cfg_task.get("remat", False)),
         compute_dtype=str(m.get("compute_dtype", "float32")),
         score_chunk=int(m.get("score_chunk", cfg_task.get("score_chunk", 0))),
@@ -63,6 +81,7 @@ def build_model_config(cfg_task: dict, num_relations: int, rspmm_impl: str = "au
         hidden=rm.get("hidden", 64),
         num_layers=rm.get("num_layers", 6),
         rspmm_impl=impl,
+        edge_axis=edge_axis,
         learn_query=bool(rm.get("learn_query", False)),
         remat=rm.get("remat", cfg_task.get("remat", False)),
         compute_dtype=str(rm.get("compute_dtype",
@@ -105,7 +124,8 @@ def build_task_config(cfg_task: dict, default_metrics) -> TaskConfig:
     )
 
 
-def build_task(cfg_task: dict, dataset, rspmm_impl: str = "auto", seed: int = 0):
+def build_task(cfg_task: dict, dataset, rspmm_impl: str = "auto", seed: int = 0,
+               edge_axis: str = ""):
     cls_name = cfg_task["class"]
     task_cls = _TASK_CLASSES[cls_name]
     if task_cls is MultiGraphPretrainTask:
@@ -120,22 +140,20 @@ def build_task(cfg_task: dict, dataset, rspmm_impl: str = "auto", seed: int = 0)
         assert isinstance(dataset, TransductiveDataset)
         num_relations = dataset.num_relations
         defaults = DEFAULT_TRANSDUCTIVE_METRICS
-    model_cfg = build_model_config(cfg_task, num_relations, rspmm_impl)
+    model_cfg = build_model_config(cfg_task, num_relations, rspmm_impl,
+                                   edge_axis=edge_axis)
     task_cfg = build_task_config(cfg_task, defaults)
     if task_cls is TransductiveKGTask:
         return task_cls(dataset, model_cfg, task_cfg, seed=seed)
     return task_cls(dataset, model_cfg, task_cfg)
 
 
-def build_engine(cfg: dict, task, work_dir: str = ".", seed: int = 1024) -> Engine:
+def build_engine(cfg: dict, task, work_dir: str = ".", seed: int = 1024,
+                 mesh=None) -> Engine:
     opt = cfg.get("optimizer", {})
     eng_cfg = cfg.get("engine", {})
-    mesh = None
-    dp = int(eng_cfg.get("data_parallel", 0))
-    if dp > 1:
-        from ..parallel.mesh import make_mesh
-
-        mesh = make_mesh(data=dp, edge=1)
+    if mesh is None:
+        mesh = build_mesh(cfg)
     # the reference only applies train.clip_grad under cfg.debug
     # (run_full.py:75-76); engine.clip_grad is this framework's ungated knob
     clip_grad = eng_cfg.get("clip_grad")

@@ -97,7 +97,9 @@ class _TaskBase:
         return ultra_init(key, self.model_cfg)
 
     def _uses_pallas(self) -> bool:
-        return self.model_cfg.entity.rspmm_impl == "pallas"
+        # "ring" needs single-chip layouts too: off-mesh paths (edge-grad
+        # scoring, max/min aggregations) fall back to the Pallas kernels
+        return self.model_cfg.entity.rspmm_impl in ("pallas", "ring")
 
     # V above which save_rspmm's extra per-layer [V, B, D] residuals no longer
     # fit 16 GB HBM at batch 64 (WN18RR-scale graphs OOM; FB-scale is fine)
@@ -156,13 +158,29 @@ class _TaskBase:
                 mesh = current_mesh()
                 if mesh is not None and edge_axis in mesh.axis_names:
                     n = mesh.shape[edge_axis]
-                    und = und.prepare_pallas_sharded(
-                        n, include_rel_layout=transe
-                    )
-                    if self.model_cfg.relation.edge_axis:
-                        rel_graph = rel_graph.prepare_pallas_sharded(
+                    if self.model_cfg.entity.rspmm_impl == "ring":
+                        # row-sharded O(V/n) path; per-bucket Pallas layouts
+                        # only exist for msg='mul' (distmult)
+                        und = und.prepare_ring(
+                            n,
+                            pallas=self.model_cfg.entity.message_func
+                            == "distmult",
+                        )
+                    else:
+                        und = und.prepare_pallas_sharded(
                             n, include_rel_layout=transe
                         )
+                    if self.model_cfg.relation.edge_axis:
+                        if self.model_cfg.relation.rspmm_impl == "ring":
+                            rel_graph = rel_graph.prepare_ring(
+                                n,
+                                pallas=self.model_cfg.relation.message_func
+                                == "distmult",
+                            )
+                        else:
+                            rel_graph = rel_graph.prepare_pallas_sharded(
+                                n, include_rel_layout=transe
+                            )
         return und, rel_graph
 
     # -- builders ----------------------------------------------------------
