@@ -623,3 +623,124 @@ def test_ring_rspmm_pallas_buckets(rng):
     for w, got in zip(want_g, got_g):
         np.testing.assert_allclose(np.asarray(got), np.asarray(w),
                                    rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# degree-balanced relabeling (parallel/balance.py)
+# ---------------------------------------------------------------------------
+
+
+def zipf_graph(rng, V=200, E=1600, R=5):
+    """Hub-dominated endpoints: contiguous blocks are badly edge-imbalanced."""
+    ranks = rng.zipf(1.5, size=6 * E)
+    ranks = ranks[ranks <= V][:E] - 1
+    other = rng.integers(0, V, E)
+    tri = np.stack([ranks, other, rng.integers(0, R, E)], 1).astype(np.int32)
+    # make it undirected-like so in-degree == out-degree per node
+    inv = tri[:, [1, 0, 2]]
+    return Graph.from_triplets(np.concatenate([tri, inv]), V, R)
+
+
+def hub_graph(rng, V=200, E=1600, R=5, hubs=16, hub_frac=0.5):
+    """FB15k237-like hub structure: a cluster of hub nodes carries half the
+    edges but each single hub stays well under one block's edge share (3% vs
+    12.5%) — the regime where node-granularity relabeling can balance. The
+    hubs share low ids, so CONTIGUOUS blocks are badly imbalanced."""
+    n_hub = int(E * hub_frac)
+    src = np.concatenate([
+        rng.integers(0, hubs, n_hub), rng.integers(0, V, E - n_hub)
+    ])
+    tri = np.stack(
+        [src, rng.integers(0, V, E), rng.integers(0, R, E)], 1
+    ).astype(np.int32)
+    inv = tri[:, [1, 0, 2]]
+    return Graph.from_triplets(np.concatenate([tri, inv]), V, R)
+
+
+def test_degree_balanced_permutation(rng):
+    from ultra_torchdrug_tpu.parallel.balance import (
+        block_edge_counts, degree_balanced_permutation, imbalance,
+    )
+
+    g = hub_graph(rng)
+    ei = np.asarray(g.edge_index)
+    src, dst = ei[:, 0], ei[:, 1]
+    n = 8
+    before = imbalance(dst, g.num_nodes, n)
+    assert before > 2.0  # hub block dominates under contiguous ids
+
+    to_new, to_old = degree_balanced_permutation(src, dst, g.num_nodes, n)
+    # permutation sanity: bijection over V, empty slots point at the pad row
+    assert sorted(to_new.tolist()) == list(range(g.num_nodes))
+    filled = to_old[to_old < g.num_nodes]
+    assert sorted(filled.tolist()) == list(range(g.num_nodes))
+    np.testing.assert_array_equal(to_old[to_new], np.arange(g.num_nodes))
+
+    after_dst = imbalance(to_new[dst], g.num_nodes, n)
+    after_src = imbalance(to_new[src], g.num_nodes, n)
+    # near-exact balance on both partitions from the single permutation
+    assert after_dst < 1.05 and after_src < 1.05
+    # every block carries edges
+    assert block_edge_counts(to_new[dst], g.num_nodes, n).min() > 0
+
+
+@pytest.mark.parametrize("path", ["ring", "ring_pallas", "partitioned"])
+def test_balanced_paths_match_oracle(rng, path):
+    """balance=True through each multi-chip path: forward + both grads match
+    the unsharded XLA op on a hub-heavy graph (the permutation is an
+    internal relabeling — the op contract stays original node order)."""
+    mesh = make_mesh(data=1, edge=8)
+    g = zipf_graph(rng, V=45, E=220)
+    B, D = 2, 4
+    rel = jnp.asarray(rng.normal(size=(g.num_relations, B, D)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(g.num_nodes, B, D)).astype(np.float32))
+    probe = jnp.asarray(rng.normal(size=(g.num_nodes, B, D)).astype(np.float32))
+
+    if path == "partitioned":
+        from ultra_torchdrug_tpu.parallel.sharded_rspmm import (
+            build_partitioned_rspmm_inputs, partitioned_rspmm_pallas,
+        )
+
+        inputs = build_partitioned_rspmm_inputs(
+            g.edge_index, g.edge_type, g.num_nodes, g.num_relations, 8,
+            tile_rows=8, tile_edges=16, balance=True,
+        )
+        assert inputs.to_new is not None
+
+        def shard_out(w, r, xx):
+            return partitioned_rspmm_pallas(w, inputs, r, xx, msg="mul",
+                                            mesh=mesh)
+    else:
+        from ultra_torchdrug_tpu.parallel.ring_rspmm import (
+            build_ring_rspmm_inputs, ring_rspmm,
+        )
+
+        inputs = build_ring_rspmm_inputs(
+            g.edge_index, g.edge_type, g.num_nodes, 8, balance=True,
+            pallas=(path == "ring_pallas"), tile_rows=8, tile_edges=16,
+        )
+        assert inputs.to_new is not None
+
+        def shard_out(w, r, xx):
+            return ring_rspmm(w, inputs, r, xx, msg="mul", mesh=mesh)
+
+    def loss_ref(r, xx):
+        out = generalized_rspmm(
+            g.edge_index, g.edge_type, g.edge_weight, r, xx,
+            msg="mul", agg="add", num_nodes=g.num_nodes,
+        )
+        return jnp.sum(out * probe), out
+
+    def loss_sh(r, xx):
+        out = shard_out(g.edge_weight, r, xx)
+        return jnp.sum(out * probe), out
+
+    (_, want_out), want_g = jax.value_and_grad(
+        loss_ref, argnums=(0, 1), has_aux=True)(rel, x)
+    (_, got_out), got_g = jax.jit(jax.value_and_grad(
+        loss_sh, argnums=(0, 1), has_aux=True))(rel, x)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(want_out),
+                               rtol=1e-4, atol=1e-5)
+    for w, got in zip(want_g, got_g):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(w),
+                                   rtol=1e-4, atol=3e-5)

@@ -239,6 +239,7 @@ class Graph:
         tile_rows: int = 256,
         tile_edges: int = 256,
         include_rel_layout: bool = False,
+        balance="auto",
     ) -> "Graph":
         """Attach per-shard CSR layouts for the edge-partitioned multi-chip
         Pallas path (destination/source row-block partitioning — see
@@ -255,12 +256,13 @@ class Graph:
             tile_rows=tile_rows,
             tile_edges=tile_edges,
             include_rel_layout=include_rel_layout,
+            balance=balance,
         )
         return dataclasses.replace(self, part_layouts=part)
 
     def prepare_ring(
         self, n_shards: int, pallas: bool = False,
-        tile_rows: int = 256, tile_edges: int = 256,
+        tile_rows: int = 256, tile_edges: int = 256, balance=False,
     ) -> "Graph":
         """Attach edge buckets for the ring-pipelined ROW-SHARDED multi-chip
         path (parallel/ring_rspmm.py): node states live sharded [V/n] per
@@ -273,7 +275,7 @@ class Graph:
         ring = build_ring_rspmm_inputs(
             self.host_edge_index(), self.host_edge_type(),
             self.num_nodes, n_shards, pallas=pallas,
-            tile_rows=tile_rows, tile_edges=tile_edges,
+            tile_rows=tile_rows, tile_edges=tile_edges, balance=balance,
         )
         return dataclasses.replace(self, ring_inputs=ring)
 

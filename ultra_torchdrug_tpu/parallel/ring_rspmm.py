@@ -68,6 +68,11 @@ class RingRspmmInputs:
     # stacked [n_owner, n_held, ...]; edge_id global like the buckets'
     fwd_lay: object = None
     rev_lay: object = None
+    # degree-balanced relabeling (parallel/balance.py): to_old [v_pad] maps
+    # new row -> original (empty slots -> the zero pad row), to_new [V] maps
+    # original -> new; None when blocks are contiguous original ids
+    to_old: object = None
+    to_new: object = None
     v_block: int = dataclasses.field(default=0, metadata=dict(static=True))
     n_shards: int = dataclasses.field(default=1, metadata=dict(static=True))
     num_nodes: int = dataclasses.field(default=0, metadata=dict(static=True))
@@ -76,24 +81,38 @@ class RingRspmmInputs:
 def build_ring_rspmm_inputs(
     edge_index, edge_type, num_nodes: int, n_shards: int,
     pallas: bool = False, tile_rows: int = 256, tile_edges: int = 256,
+    balance=False,
 ) -> RingRspmmInputs:
     """Host-side bucket build (numpy; one device_put at the end).
 
     Buckets are padded to the max size over all (owner, held) pairs so the
-    stacked arrays are static-shape. Contiguous equal row blocks can be
-    edge-imbalanced on hub-heavy graphs — degree-balanced block boundaries
-    are the roadmap refinement (parallel/DESIGN.md).
+    stacked arrays are static-shape. balance=True relabels node ids with a
+    degree-balanced permutation (parallel/balance.py), equalizing per-chip
+    edge work in every lockstep ring step and shrinking the bucket padding
+    Emax — but the op then gathers states into/out of the relabeled order at
+    its boundary, which REPLICATES full node states there and forfeits the
+    O(V/n) memory contract between layers. Default off for that reason
+    (unlike the replicated-x partitioned path, where 'auto' is free);
+    enable when ring is chosen for compute balance rather than memory.
+    The memory-preserving alternative — propagating entirely in the
+    permuted domain — is roadmap (parallel/DESIGN.md).
 
     pallas=True additionally builds per-bucket CSR layouts so the ring steps
     run the fused gather kernels (O(vb·F) memory per step) instead of XLA
     segment ops (which materialize the bucket's [Emax, ...] messages)."""
     from ..ops.csr import _remap_edge_id, build_layout, pad_layout_chunks
+    from .balance import degree_balanced_permutation, resolve_balance
 
     ei = np.asarray(edge_index)
     et = np.asarray(edge_type, np.int32)
     src, dst = ei[:, 0].astype(np.int64), ei[:, 1].astype(np.int64)
     n = n_shards
     vb = -(-num_nodes // n)
+
+    to_new = to_old = None
+    if resolve_balance(balance, src, dst, num_nodes, n):
+        to_new, to_old = degree_balanced_permutation(src, dst, num_nodes, n)
+        src, dst = to_new[src].astype(np.int64), to_new[dst].astype(np.int64)
 
     def family(owner_key, held_key, gather_key, out_key):
         sel = [[None] * n for _ in range(n)]
@@ -154,6 +173,7 @@ def build_ring_rspmm_inputs(
     return jax.device_put(
         RingRspmmInputs(
             fwd=fwd, rev=rev, fwd_lay=fwd_lay, rev_lay=rev_lay,
+            to_old=to_old, to_new=to_new,
             v_block=vb, n_shards=n, num_nodes=int(num_nodes),
         )
     )
@@ -295,12 +315,23 @@ def _make_ring_rspmm(
             0,
         )
 
+    def _to_blocks(inputs, arr):
+        """Row-pad and, when degree-balanced, relabel into block order."""
+        arr = _pad_rows(arr)
+        return arr if inputs.to_old is None else arr[inputs.to_old]
+
+    def _from_blocks(inputs, arr):
+        if inputs.to_new is None:
+            return arr[:num_nodes]
+        return arr[inputs.to_new]
+
     @jax.custom_vjp
     def rspmm(edge_weight, inputs, relation, x):
         out = fwd_sm(
-            edge_weight, inputs.fwd, inputs.fwd_lay, relation, _pad_rows(x)
+            edge_weight, inputs.fwd, inputs.fwd_lay, relation,
+            _to_blocks(inputs, x),
         )
-        return out[:num_nodes]
+        return _from_blocks(inputs, out)
 
     def vjp_fwd(edge_weight, inputs, relation, x):
         return rspmm(edge_weight, inputs, relation, x), (
@@ -311,9 +342,17 @@ def _make_ring_rspmm(
         edge_weight, inputs, relation, x = res
         dr, dx_pad = bwd_sm(
             edge_weight, inputs.rev, inputs.rev_lay, relation,
-            _pad_rows(x), _pad_rows(g)
+            _to_blocks(inputs, x), _to_blocks(inputs, g)
         )
-        dx = dx_pad[: x.shape[0]]
+        dx = _from_blocks(inputs, dx_pad)
+        # match the caller's x rows (it may have passed pre-padded rows)
+        if dx.shape[0] > x.shape[0]:
+            dx = dx[: x.shape[0]]
+        elif dx.shape[0] < x.shape[0]:
+            dx = jnp.concatenate(
+                [dx, jnp.zeros((x.shape[0] - dx.shape[0],) + dx.shape[1:],
+                               dx.dtype)], 0,
+            )
 
         def zeros(leaf):
             if jnp.issubdtype(leaf.dtype, jnp.floating):

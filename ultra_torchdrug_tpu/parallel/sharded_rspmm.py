@@ -139,6 +139,11 @@ class PartitionedRspmmLayouts:
     fwd: object
     rev: object
     rel: object = None
+    # degree-balanced relabeling of the OUTPUT row space only (gathers read
+    # the replicated x/g in original order): to_old [v_pad] new->original,
+    # to_new [V] original->new; None for contiguous original-id blocks
+    to_old: object = None
+    to_new: object = None
     v_block: int = dataclasses.field(default=0, metadata=dict(static=True))
     n_shards: int = dataclasses.field(default=1, metadata=dict(static=True))
     num_nodes: int = dataclasses.field(default=0, metadata=dict(static=True))
@@ -153,22 +158,35 @@ def build_partitioned_rspmm_inputs(
     tile_rows: int = 256,
     tile_edges: int = 256,
     include_rel_layout: bool = False,
+    balance="auto",
 ) -> PartitionedRspmmLayouts:
     """Host-side build of the per-shard layouts (one device_put at the end).
 
     Shard s owns output rows [s·v_block, (s+1)·v_block): forward layouts over
     edges whose dst lands in the block, reverse layouts over edges whose src
     does. Per-family chunk counts are padded to the max across shards so the
-    stacks have uniform static shapes.
+    stacks have uniform static shapes. balance: 'auto' relabels the output
+    row space with a degree-balanced permutation (parallel/balance.py) when
+    contiguous blocks are hub-imbalanced, equalizing per-chip kernel work;
+    gathers keep reading the replicated x/g in original id order.
     """
     import numpy as np
 
     from ..ops.csr import _remap_edge_id, build_layout, pad_layout_chunks
+    from .balance import degree_balanced_permutation, resolve_balance
 
     ei = np.asarray(edge_index)
     et = np.asarray(edge_type)
     src, dst = ei[:, 0], ei[:, 1]
     v_block = -(-num_nodes // n_shards)
+
+    to_new = to_old = None
+    row_src, row_dst = src, dst  # output-row keys (possibly relabeled)
+    if resolve_balance(balance, src, dst, num_nodes, n_shards):
+        to_new, to_old = degree_balanced_permutation(
+            src, dst, num_nodes, n_shards
+        )
+        row_src, row_dst = to_new[src], to_new[dst]
 
     def family(row_key, gather_key, rows, rel_family=False):
         shards = []
@@ -193,12 +211,12 @@ def build_partitioned_rspmm_inputs(
         shards = [pad_layout_chunks(l, cmax) for l in shards]
         return jax.tree_util.tree_map(lambda *ls: np.stack(ls), *shards)
 
-    fwd = family(dst, src, v_block)
-    rev = family(src, dst, v_block)
-    rel = family(src, dst, v_block, rel_family=True) if include_rel_layout else None
+    fwd = family(row_dst, src, v_block)
+    rev = family(row_src, dst, v_block)
+    rel = family(row_src, dst, v_block, rel_family=True) if include_rel_layout else None
     return jax.device_put(
         PartitionedRspmmLayouts(
-            fwd=fwd, rev=rev, rel=rel,
+            fwd=fwd, rev=rev, rel=rel, to_old=to_old, to_new=to_new,
             v_block=v_block, n_shards=n_shards, num_nodes=int(num_nodes),
         )
     )
@@ -256,6 +274,8 @@ def _make_partitioned_rspmm_pallas(
     @jax.custom_vjp
     def rspmm(edge_weight, layouts, relation, x):
         out = fwd_sm(edge_weight, layouts.fwd, relation, x)
+        if layouts.to_new is not None:  # degree-balanced row space -> original
+            return out[layouts.to_new]
         return out[:num_nodes]
 
     def vjp_fwd(edge_weight, layouts, relation, x):
@@ -265,10 +285,23 @@ def _make_partitioned_rspmm_pallas(
 
     def vjp_bwd(res, g):
         edge_weight, layouts, relation, x = res
+        x_pad = _pad_rows(x)
+        if layouts.to_old is not None:
+            # rev rows are src blocks of the relabeled space; gathers read
+            # the replicated g in original order (layout gather ids global)
+            x_pad = x_pad[layouts.to_old]
         dr, dx_pad = bwd_sm(
-            edge_weight, layouts.rev, layouts.rel, relation, _pad_rows(x), g
+            edge_weight, layouts.rev, layouts.rel, relation, x_pad, g
         )
-        dx = dx_pad[: x.shape[0]]
+        if layouts.to_new is not None:
+            dx = dx_pad[layouts.to_new]
+            if dx.shape[0] < x.shape[0]:  # caller passed pre-padded rows
+                dx = jnp.concatenate(
+                    [dx, jnp.zeros((x.shape[0] - dx.shape[0],) + dx.shape[1:],
+                                   dx.dtype)], 0,
+                )
+        else:
+            dx = dx_pad[: x.shape[0]]
 
         def zeros(leaf):
             if jnp.issubdtype(leaf.dtype, jnp.floating):
