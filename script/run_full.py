@@ -93,16 +93,9 @@ def main(argv=None):
     # multi-chip: `parallel: {data: N, edge: M}` builds the mesh; it must be
     # active for the task build (graph partitioning happens at jit-build time)
     # and for training/eval (the conv reads current_mesh() at trace time)
-    import contextlib
+    from ultra_torchdrug_tpu.engine.build import mesh_scope
 
-    from ultra_torchdrug_tpu.engine.build import build_mesh
-    from ultra_torchdrug_tpu.parallel.mesh import use_mesh
-
-    mesh = build_mesh(cfg)
-    edge_axis = (
-        "edge" if mesh is not None and mesh.shape.get("edge", 1) > 1 else ""
-    )
-    with (mesh or contextlib.nullcontext()), use_mesh(mesh):
+    with mesh_scope(cfg) as (mesh, edge_axis):
         task = build_task(
             cfg["task"], dataset, rspmm_impl=cfg.get("rspmm_impl", "auto"),
             seed=args.seed, edge_axis=edge_axis,

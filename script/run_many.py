@@ -113,15 +113,9 @@ def main():
             logger.info(f"=== {spec} rep {rep} seed {seed} ===")
             run_full.set_seed(seed)
             dataset = build_dataset(cfg["dataset"])
-            import contextlib
+            from ultra_torchdrug_tpu.engine.build import mesh_scope
 
-            from ultra_torchdrug_tpu.engine.build import build_mesh
-            from ultra_torchdrug_tpu.parallel.mesh import use_mesh
-
-            mesh = build_mesh(cfg)
-            edge_axis = ("edge" if mesh is not None
-                         and mesh.shape.get("edge", 1) > 1 else "")
-            with (mesh or contextlib.nullcontext()), use_mesh(mesh):
+            with mesh_scope(cfg) as (mesh, edge_axis):
                 task = build_task(cfg["task"], dataset,
                                   rspmm_impl=cfg.get("rspmm_impl", "auto"),
                                   seed=seed, edge_axis=edge_axis)
@@ -129,10 +123,22 @@ def main():
                                       mesh=mesh)
                 if args.ckpt and args.ckpt not in ("null", "None"):
                     engine.load(os.path.expanduser(args.ckpt))
-                run_full.train_and_validate(cfg, engine, logger)
-                metrics = engine.evaluate(
-                    "test", fast_test=cfg.get("fast_test")
-                )
+                # reference wraps sweep runs in set_detect_anomaly(True) too
+                # (run_many.py:229); opt-in here like run_full (the JAX
+                # analog disables async dispatch)
+                if cfg.get("detect_anomaly"):
+                    from ultra_torchdrug_tpu.utils.debug import detect_anomaly
+
+                    with detect_anomaly():
+                        run_full.train_and_validate(cfg, engine, logger)
+                        metrics = engine.evaluate(
+                            "test", fast_test=cfg.get("fast_test")
+                        )
+                else:
+                    run_full.train_and_validate(cfg, engine, logger)
+                    metrics = engine.evaluate(
+                        "test", fast_test=cfg.get("fast_test")
+                    )
             row = {"dataset": spec, "seed": seed,
                    **{k: v for k, v in metrics.items() if not isinstance(v, dict)}}
             rows.append(row)

@@ -684,19 +684,24 @@ def test_degree_balanced_permutation(rng):
     assert block_edge_counts(to_new[dst], g.num_nodes, n).min() > 0
 
 
-@pytest.mark.parametrize("path", ["ring", "ring_pallas", "partitioned"])
+@pytest.mark.parametrize(
+    "path", ["ring", "ring_pallas", "partitioned", "partitioned_transe"]
+)
 def test_balanced_paths_match_oracle(rng, path):
     """balance=True through each multi-chip path: forward + both grads match
     the unsharded XLA op on a hub-heavy graph (the permutation is an
-    internal relabeling — the op contract stays original node order)."""
+    internal relabeling — the op contract stays original node order).
+    partitioned_transe covers the rel-layout family (d_relation via the
+    relation-sorted gathers) under relabeled row ownership."""
     mesh = make_mesh(data=1, edge=8)
     g = zipf_graph(rng, V=45, E=220)
     B, D = 2, 4
+    msg = "add" if path == "partitioned_transe" else "mul"
     rel = jnp.asarray(rng.normal(size=(g.num_relations, B, D)).astype(np.float32))
     x = jnp.asarray(rng.normal(size=(g.num_nodes, B, D)).astype(np.float32))
     probe = jnp.asarray(rng.normal(size=(g.num_nodes, B, D)).astype(np.float32))
 
-    if path == "partitioned":
+    if path.startswith("partitioned"):
         from ultra_torchdrug_tpu.parallel.sharded_rspmm import (
             build_partitioned_rspmm_inputs, partitioned_rspmm_pallas,
         )
@@ -704,11 +709,12 @@ def test_balanced_paths_match_oracle(rng, path):
         inputs = build_partitioned_rspmm_inputs(
             g.edge_index, g.edge_type, g.num_nodes, g.num_relations, 8,
             tile_rows=8, tile_edges=16, balance=True,
+            include_rel_layout=(msg == "add"),
         )
         assert inputs.to_new is not None
 
         def shard_out(w, r, xx):
-            return partitioned_rspmm_pallas(w, inputs, r, xx, msg="mul",
+            return partitioned_rspmm_pallas(w, inputs, r, xx, msg=msg,
                                             mesh=mesh)
     else:
         from ultra_torchdrug_tpu.parallel.ring_rspmm import (
@@ -727,7 +733,7 @@ def test_balanced_paths_match_oracle(rng, path):
     def loss_ref(r, xx):
         out = generalized_rspmm(
             g.edge_index, g.edge_type, g.edge_weight, r, xx,
-            msg="mul", agg="add", num_nodes=g.num_nodes,
+            msg=msg, agg="add", num_nodes=g.num_nodes,
         )
         return jnp.sum(out * probe), out
 

@@ -4,6 +4,7 @@ engine. Keeps the reference's YAML schema working unchanged
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import dataclasses
 from typing import Optional
 
@@ -35,6 +36,23 @@ def build_dataset(cfg_dataset: dict):
     kwargs = {k: v for k, v in cfg_dataset.items() if k != "class"}
     cls = lookup(cfg_dataset["class"])
     return cls(**kwargs)
+
+
+@_contextlib.contextmanager
+def mesh_scope(cfg: dict):
+    """Build the run's mesh from cfg and activate it for the scope — both the
+    jax Mesh context and current_mesh() (which the conv reads at trace time
+    and the task at graph-partitioning time). Yields (mesh, edge_axis); both
+    drivers enter this around task/engine construction and training."""
+    from ..parallel.mesh import use_mesh
+
+    mesh = build_mesh(cfg)
+    edge_axis = (
+        "edge" if mesh is not None and mesh.shape.get("edge", 1) > 1 else ""
+    )
+    with (mesh if mesh is not None else _contextlib.nullcontext()), \
+            use_mesh(mesh):
+        yield mesh, edge_axis
 
 
 def build_mesh(cfg: dict):

@@ -192,10 +192,12 @@ class Engine:
                 while done < bpe:
                     k = K  # K > 1 may overshoot bpe by < K (chunks are whole)
                     if k == 1:
-                        batch, gid = task.sample_batch(self.rng, self.batch_size)
-                        if len(batch) < self.batch_size:
-                            reps = -(-self.batch_size // len(batch))
-                            batch = np.tile(batch, (reps, 1))[: self.batch_size]
+                        gid = task.sample_graph_id(self.rng)
+                        edges = task.train_triples[gid]
+                        batch = self._full_batch(
+                            edges,
+                            self.rng.permutation(len(edges))[: self.batch_size],
+                        )
                     else:
                         # one mixture draw per chunk (see steps_per_call note)
                         gid = task.sample_graph_id(self.rng)

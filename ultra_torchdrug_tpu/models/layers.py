@@ -132,15 +132,6 @@ def _rotate_messages_aggregate(graph, rel, x, agg: str):
     return jax.ops.segment_sum(m, dst, num_segments=graph.num_nodes)
 
 
-def conv_flat_ok(cfg: ConvConfig) -> bool:
-    """Whether a layer can run on flat [V, B*D] activations: true for the
-    distmult/transe message functions with sum/mean/max aggregation (rotate
-    needs the complex split over D; PNA needs the [V,B,D,4] stat interleave)."""
-    base = cfg.aggregate_func.replace("_nobound", "")
-    return cfg.message_func in ("distmult", "transe") and base in (
-        "sum", "mean", "max")
-
-
 def conv_apply(
     params: dict,
     cfg: ConvConfig,
@@ -155,32 +146,17 @@ def conv_apply(
 
     Args:
       graph: data.Graph (already undirected+inverse where applicable)
-      x: [V, B, D] node states, or flat [V, B*D] (conv_flat_ok configs only:
-         flat is the rspmm kernels' native lane-aligned layout, skipping a
-         relayout copy per kernel boundary — D=64 tensors pad 64->128 lanes)
-      boundary: [V, B, D] boundary condition (folded into aggregation);
-         flat [V, B*D] when x is flat
+      x: [V, B, D] node states (the rspmm kernels flatten to their native
+         lane-aligned [V, B*D] internally; a model-level flat carry measured
+         as a regression — XLA already cancels the boundary reshapes)
+      boundary: [V, B, D] boundary condition (folded into aggregation)
       query: [B, Q] query vectors ("dependent" mode only)
       rel_injected: externally supplied relation reps ("injected" mode)
       edge_grad: route through the autodiff path so d(edge_weight) flows
         (path interpretability; mirrors layer.py:112's fallback condition)
-    Returns: [V, B, output_dim] (flat [V, B*output_dim] for flat input)
+    Returns: [V, B, output_dim]
     """
     rel = _relation_input(params, cfg, query, rel_injected)
-    flat = x.ndim == 2
-    if flat:
-        assert conv_flat_ok(cfg), cfg
-        Bflat = x.shape[1] // cfg.input_dim
-
-    def _rel_for_sparse(relation):
-        """Sparse-kernel relation operand: flat [R, B*D] when x is flat."""
-        if not flat:
-            return relation
-        if relation.ndim == 2:  # shared [R, D] -> broadcast flat
-            relation = jnp.broadcast_to(
-                relation[:, None, :], (relation.shape[0], Bflat, cfg.input_dim)
-            )
-        return relation.reshape(relation.shape[0], -1)
 
     def spmm(relation, xx, agg):
         out = _spmm_raw(relation, xx, agg)
@@ -201,12 +177,6 @@ def conv_apply(
             # max/min (non-decomposable) fall through to the sparse kernels.
             from ..ops.dense import dense_rspmm
 
-            if flat:
-                out = dense_rspmm(
-                    graph.dense_adj, relation,
-                    xx.reshape(xx.shape[0], Bflat, cfg.input_dim), msg=msg,
-                )
-                return out.reshape(out.shape[0], -1)
             return dense_rspmm(graph.dense_adj, relation, xx, msg=msg)
         if cfg.edge_axis and agg == "add" and not edge_grad:
             from ..parallel.mesh import current_mesh
@@ -217,8 +187,6 @@ def conv_apply(
 
             mesh = current_mesh()
             if mesh is not None and cfg.edge_axis in mesh.axis_names:
-                if flat:
-                    xx = xx.reshape(xx.shape[0], Bflat, cfg.input_dim)
                 if (cfg.rspmm_impl == "ring"
                         and graph.ring_inputs is not None):
                     from ..parallel.ring_rspmm import ring_rspmm
@@ -239,7 +207,7 @@ def conv_apply(
                         relation, xx, msg=msg, num_nodes=graph.num_nodes,
                         mesh=mesh, axis=cfg.edge_axis,
                     )
-                return out.reshape(out.shape[0], -1) if flat else out
+                return out
         # "ring" is a mesh-only impl; off-mesh (or for the paths the ring
         # doesn't cover) fall back to the best single-chip kernel available
         impl = cfg.rspmm_impl
@@ -249,7 +217,7 @@ def conv_apply(
             graph.edge_index,
             graph.edge_type,
             graph.edge_weight,
-            _rel_for_sparse(relation),
+            relation,
             xx,
             msg=msg,
             agg=agg,
@@ -264,7 +232,7 @@ def conv_apply(
     base = agg.replace("_nobound", "")
     bounded = not agg.endswith("_nobound")
     degree = graph.degree_out() + 1.0
-    degree = degree[:, None] if flat else degree[:, None, None]
+    degree = degree[:, None, None]
 
     if base == "sum":
         update = spmm(rel, x, "add")
@@ -317,12 +285,10 @@ def conv_apply(
     # materialized (measured -1.2 ms/layer at FB scale;
     # script/diagnostics/layout_micro.py)
     w = params["linear"]["w"]
-    din = cfg.input_dim if flat else x.shape[-1]
-    x3 = x.reshape(x.shape[0], -1, din) if flat else x
-    u3 = update.reshape(update.shape[0], -1, din) if flat else update
+    din = x.shape[-1]
     out = (
-        jnp.dot(x3, w[:din], precision=jax.lax.Precision.HIGHEST)
-        + jnp.dot(u3, w[din:], precision=jax.lax.Precision.HIGHEST)
+        jnp.dot(x, w[:din], precision=jax.lax.Precision.HIGHEST)
+        + jnp.dot(update, w[din:], precision=jax.lax.Precision.HIGHEST)
         + params["linear"]["b"]
     )
     if cfg.layer_norm:
@@ -331,4 +297,4 @@ def conv_apply(
         out = jax.nn.relu(out)
     elif cfg.activation and cfg.activation != "none":
         out = getattr(jax.nn, cfg.activation)(out)
-    return out.reshape(out.shape[0], -1) if flat else out
+    return out
