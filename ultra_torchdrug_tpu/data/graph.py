@@ -263,6 +263,7 @@ class Graph:
     def prepare_ring(
         self, n_shards: int, pallas: bool = False,
         tile_rows: int = 256, tile_edges: int = 256, balance=False,
+        permuted_io: bool = False,
     ) -> "Graph":
         """Attach edge buckets for the ring-pipelined ROW-SHARDED multi-chip
         path (parallel/ring_rspmm.py): node states live sharded [V/n] per
@@ -276,6 +277,7 @@ class Graph:
             self.host_edge_index(), self.host_edge_type(),
             self.num_nodes, n_shards, pallas=pallas,
             tile_rows=tile_rows, tile_edges=tile_edges, balance=balance,
+            permuted_io=permuted_io,
         )
         return dataclasses.replace(self, ring_inputs=ring)
 

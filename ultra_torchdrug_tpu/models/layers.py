@@ -132,6 +132,33 @@ def _rotate_messages_aggregate(graph, rel, x, agg: str):
     return jax.ops.segment_sum(m, dst, num_segments=graph.num_nodes)
 
 
+def ring_block_domain(cfg: ConvConfig, graph, edge_grad: bool = False):
+    """The ring-path block-domain contract: returns the graph's
+    RingRspmmInputs when EVERY spmm of a propagation over `graph` will route
+    through the ring op in permuted-IO mode (so the model should carry node
+    states as padded block-domain rows for the whole stack), else None.
+
+    Must mirror conv_apply's routing exactly — if any spmm could fall to a
+    single-chip path (off-mesh, edge-grad, non-add aggregation, rotate's O(E)
+    path), block-domain states would silently misindex the original-order
+    edge arrays, so this returns None for all of those."""
+    ri = getattr(graph, "ring_inputs", None)
+    if ri is None or not ri.permuted_io:
+        return None
+    if cfg.rspmm_impl != "ring" or not cfg.edge_axis or edge_grad:
+        return None
+    if cfg.message_func not in ("distmult", "transe"):
+        return None
+    if cfg.aggregate_func not in ("sum", "sum_nobound"):
+        return None  # mean/pna/max consume degree/boundary in original order
+    from ..parallel.mesh import current_mesh
+
+    mesh = current_mesh()
+    if mesh is None or cfg.edge_axis not in mesh.axis_names:
+        return None
+    return ri
+
+
 def conv_apply(
     params: dict,
     cfg: ConvConfig,
@@ -187,8 +214,15 @@ def conv_apply(
 
             mesh = current_mesh()
             if mesh is not None and cfg.edge_axis in mesh.axis_names:
-                if (cfg.rspmm_impl == "ring"
-                        and graph.ring_inputs is not None):
+                ri = graph.ring_inputs
+                if (ri is not None and ri.permuted_io
+                        and ring_block_domain(cfg, graph, edge_grad) is None):
+                    # the model could not hold the block-domain contract for
+                    # this config (e.g. mean/pna consume original-order
+                    # degree) — x is in original order, so ring's relabeled
+                    # buckets must not see it; fall to the replicated paths
+                    ri = None
+                if cfg.rspmm_impl == "ring" and ri is not None:
                     from ..parallel.ring_rspmm import ring_rspmm
 
                     out = ring_rspmm(

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.core import mlp_apply, mlp_init
-from .layers import ConvConfig, conv_apply, conv_init
+from .layers import ConvConfig, conv_apply, conv_init, ring_block_domain
 
 
 # ---------------------------------------------------------------------------
@@ -334,8 +334,19 @@ def entity_nbfnet_score_all(
     else:  # shared [2R, D]
         query = query_src[query_rel]
     V = graph.num_nodes
-    boundary = jnp.zeros((V, B, cfg.input_dim), jnp.float32)
-    boundary = boundary.at[source, jnp.arange(B)].add(query)
+    # ring permuted-IO: the whole propagation runs in the padded block domain
+    # ([n*v_block] rows, degree-balanced when to_new is set) — states stay
+    # row-sharded across layers; only the boundary scatter here and the
+    # [B, V] score readout below map indices (see layers.ring_block_domain)
+    lcfg0 = cfg.layer_configs()[0]
+    ring = ring_block_domain(lcfg0, graph, edge_grad)
+    if ring is not None:
+        Vrows = ring.v_block * ring.n_shards
+        rows = source if ring.to_new is None else ring.to_new[source]
+    else:
+        Vrows, rows = V, source
+    boundary = jnp.zeros((Vrows, B, cfg.input_dim), jnp.float32)
+    boundary = boundary.at[rows, jnp.arange(B)].add(query)
     if all(r is per_layer[0] for r in per_layer[1:]):
         # single injected tensor: scannable stack (one compiled layer body)
         final = _propagate(
@@ -354,7 +365,13 @@ def entity_nbfnet_score_all(
             hiddens.append(h)
             x = h
         final = jnp.concatenate(hiddens, -1) if cfg.concat_hidden else hiddens[-1]
-    return _score_tail(params, cfg, final, query, V, B)
+    scores = _score_tail(params, cfg, final, query, Vrows, B)  # [B, Vrows]
+    if ring is not None:
+        # back to original entity order: gather score COLUMNS ([B, V] floats
+        # — D-free, so the block-domain states never replicate)
+        cols = jnp.arange(V) if ring.to_new is None else ring.to_new
+        scores = scores[:, cols]
+    return scores
 
 
 def _mlp_head_split(mlp_params, final, query):

@@ -76,12 +76,18 @@ class RingRspmmInputs:
     v_block: int = dataclasses.field(default=0, metadata=dict(static=True))
     n_shards: int = dataclasses.field(default=1, metadata=dict(static=True))
     num_nodes: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # permuted_io=True: the CALLER keeps node states in the padded block
+    # domain ([n*v_block] rows, relabeled when balanced) for the whole
+    # propagation — the op takes and returns block-domain arrays with NO
+    # boundary gathers/pads, preserving O(V/n) row-sharded states across
+    # layers (the model maps indices at its boundary scatter/readout instead)
+    permuted_io: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
 
 def build_ring_rspmm_inputs(
     edge_index, edge_type, num_nodes: int, n_shards: int,
     pallas: bool = False, tile_rows: int = 256, tile_edges: int = 256,
-    balance=False,
+    balance=False, permuted_io: bool = False,
 ) -> RingRspmmInputs:
     """Host-side bucket build (numpy; one device_put at the end).
 
@@ -94,8 +100,10 @@ def build_ring_rspmm_inputs(
     O(V/n) memory contract between layers. Default off for that reason
     (unlike the replicated-x partitioned path, where 'auto' is free);
     enable when ring is chosen for compute balance rather than memory.
-    The memory-preserving alternative — propagating entirely in the
-    permuted domain — is roadmap (parallel/DESIGN.md).
+    The memory-preserving alternative is permuted_io=True: the caller owns
+    the block domain end to end (see RingRspmmInputs.permuted_io), so the
+    boundary gathers disappear, balance costs nothing, and 'auto' is the
+    right setting — the model layer does this (models/nbfnet.py).
 
     pallas=True additionally builds per-bucket CSR layouts so the ring steps
     run the fused gather kernels (O(vb·F) memory per step) instead of XLA
@@ -175,6 +183,7 @@ def build_ring_rspmm_inputs(
             fwd=fwd, rev=rev, fwd_lay=fwd_lay, rev_lay=rev_lay,
             to_old=to_old, to_new=to_new,
             v_block=vb, n_shards=n, num_nodes=int(num_nodes),
+            permuted_io=permuted_io,
         )
     )
 
@@ -327,6 +336,13 @@ def _make_ring_rspmm(
 
     @jax.custom_vjp
     def rspmm(edge_weight, inputs, relation, x):
+        if inputs.permuted_io:
+            # caller-owned block domain: x arrives [v_pad, ...] already in
+            # block order; return the same — zero boundary gathers/pads
+            assert x.shape[0] == v_pad, (x.shape, v_pad)
+            return fwd_sm(
+                edge_weight, inputs.fwd, inputs.fwd_lay, relation, x
+            )
         out = fwd_sm(
             edge_weight, inputs.fwd, inputs.fwd_lay, relation,
             _to_blocks(inputs, x),
@@ -338,30 +354,34 @@ def _make_ring_rspmm(
             edge_weight, inputs, relation, x,
         )
 
+    def _zeros_leaf(leaf):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return jnp.zeros_like(leaf)
+        return jnp.zeros(leaf.shape, dtype=jax.dtypes.float0)
+
     def vjp_bwd(res, g):
         edge_weight, inputs, relation, x = res
-        dr, dx_pad = bwd_sm(
-            edge_weight, inputs.rev, inputs.rev_lay, relation,
-            _to_blocks(inputs, x), _to_blocks(inputs, g)
-        )
-        dx = _from_blocks(inputs, dx_pad)
-        # match the caller's x rows (it may have passed pre-padded rows)
-        if dx.shape[0] > x.shape[0]:
-            dx = dx[: x.shape[0]]
-        elif dx.shape[0] < x.shape[0]:
-            dx = jnp.concatenate(
-                [dx, jnp.zeros((x.shape[0] - dx.shape[0],) + dx.shape[1:],
-                               dx.dtype)], 0,
+        if inputs.permuted_io:
+            dr, dx = bwd_sm(
+                edge_weight, inputs.rev, inputs.rev_lay, relation, x, g
             )
-
-        def zeros(leaf):
-            if jnp.issubdtype(leaf.dtype, jnp.floating):
-                return jnp.zeros_like(leaf)
-            return jnp.zeros(leaf.shape, dtype=jax.dtypes.float0)
-
+        else:
+            dr, dx_pad = bwd_sm(
+                edge_weight, inputs.rev, inputs.rev_lay, relation,
+                _to_blocks(inputs, x), _to_blocks(inputs, g)
+            )
+            dx = _from_blocks(inputs, dx_pad)
+            # match the caller's x rows (it may have passed pre-padded rows)
+            if dx.shape[0] > x.shape[0]:
+                dx = dx[: x.shape[0]]
+            elif dx.shape[0] < x.shape[0]:
+                dx = jnp.concatenate(
+                    [dx, jnp.zeros((x.shape[0] - dx.shape[0],) + dx.shape[1:],
+                                   dx.dtype)], 0,
+                )
         return (
             jnp.zeros_like(edge_weight),
-            jax.tree_util.tree_map(zeros, inputs),
+            jax.tree_util.tree_map(_zeros_leaf, inputs),
             dr,
             dx,
         )

@@ -160,11 +160,16 @@ class _TaskBase:
                     n = mesh.shape[edge_axis]
                     if self.model_cfg.entity.rspmm_impl == "ring":
                         # row-sharded O(V/n) path; per-bucket Pallas layouts
-                        # only exist for msg='mul' (distmult)
+                        # only exist for msg='mul' (distmult). permuted_io:
+                        # the entity tower carries block-domain states for
+                        # the whole stack (degree-balanced for free when the
+                        # contiguous split is hub-imbalanced)
                         und = und.prepare_ring(
                             n,
                             pallas=self.model_cfg.entity.message_func
                             == "distmult",
+                            balance="auto",
+                            permuted_io=True,
                         )
                     else:
                         und = und.prepare_pallas_sharded(
