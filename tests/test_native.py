@@ -72,3 +72,25 @@ def test_relation_patterns_native_matches_scipy(lib_ok, rng):
     want = {tuple(e) for e in np.asarray(rg_np.edge_list).tolist()}
     assert got == want
     assert rg_native.num_nodes == rg_np.num_nodes
+
+
+def test_degree_balanced_lpt_native_matches_python():
+    """The C++ LPT must be bit-identical to the Python reference (same
+    stable degree order, same lightest-block-smallest-id tie rule)."""
+    import numpy as np
+
+    from ultra_torchdrug_tpu import native
+    from ultra_torchdrug_tpu.parallel.balance import _lpt_python
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(3)
+    for V, n in [(50, 8), (301, 4), (1000, 16)]:
+        vb = -(-V // n)
+        deg = rng.integers(0, 200, V).astype(np.int64)
+        deg[rng.integers(0, V, 5)] += 5000  # hubs + ties both present
+        got = native.degree_balanced_lpt_native(deg, n, vb)
+        want = _lpt_python(deg, n, vb)
+        np.testing.assert_array_equal(got, want)

@@ -66,6 +66,10 @@ def _load():
         lib.relation_graph_patterns.argtypes = [
             i32p, i32p, i32p, i64, i64, i64, ctypes.c_void_p,
         ]
+        lib.degree_balanced_lpt.restype = None
+        lib.degree_balanced_lpt.argtypes = [
+            np.ctypeslib.ndpointer(np.int64), i64, i64, i64, i32p,
+        ]
         _LIB = lib
         return _LIB
 
@@ -111,6 +115,20 @@ def csr_layout_build_native(
         E2, og1[:E2], og2[:E2], oaux[:E2], orl[:E2], oeid[:E2], oval[:E2],
         ocr[:C],
     )
+
+
+def degree_balanced_lpt_native(
+    deg: np.ndarray, n_blocks: int, v_block: int
+) -> Optional[np.ndarray]:
+    """int32 [V] new id per node (see parallel/balance.py), or None if the
+    native lib is unavailable. Bit-identical to the Python fallback."""
+    lib = _load()
+    if lib is None:
+        return None
+    deg = np.ascontiguousarray(deg, np.int64)
+    to_new = np.empty(len(deg), np.int32)
+    lib.degree_balanced_lpt(deg, len(deg), n_blocks, v_block, to_new)
+    return to_new
 
 
 def relation_graph_patterns_native(

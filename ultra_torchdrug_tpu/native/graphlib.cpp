@@ -156,4 +156,41 @@ int64_t relation_graph_patterns(
   return n;
 }
 
+// ---------------------------------------------------------------------------
+// Degree-balanced LPT block assignment (mirrors parallel/balance.py::
+// degree_balanced_permutation): nodes in decreasing-degree order (stable)
+// each go to the lightest block with a free slot (capacity v_block).
+// Deterministically identical to the Python fallback: ties on load resolve
+// to the smallest block id, like heapq's (load, block) tuple order.
+// ---------------------------------------------------------------------------
+
+void degree_balanced_lpt(const int64_t* deg, int64_t num_nodes,
+                         int64_t n_blocks, int64_t v_block, int32_t* to_new) {
+  std::vector<int64_t> order(num_nodes);
+  std::iota(order.begin(), order.end(), 0);
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int64_t a, int64_t b) { return deg[a] > deg[b]; });
+
+  using Entry = std::pair<int64_t, int64_t>;  // (load, block)
+  std::vector<Entry> heap(n_blocks);
+  for (int64_t s = 0; s < n_blocks; ++s) heap[s] = {0, s};
+  auto gt = [](const Entry& a, const Entry& b) { return a > b; };  // min-heap
+  std::make_heap(heap.begin(), heap.end(), gt);
+  std::vector<int64_t> counts(n_blocks, 0);
+
+  for (int64_t k = 0; k < num_nodes; ++k) {
+    int64_t node = order[k];
+    std::pop_heap(heap.begin(), heap.end(), gt);
+    Entry top = heap.back();
+    heap.pop_back();
+    int64_t s = top.second;
+    to_new[node] = (int32_t)(s * v_block + counts[s]);
+    counts[s]++;
+    if (counts[s] < v_block) {
+      heap.push_back({top.first + deg[node], s});
+      std::push_heap(heap.begin(), heap.end(), gt);
+    }
+  }
+}
+
 }  // extern "C"

@@ -45,23 +45,34 @@ def degree_balanced_permutation(src, dst, num_nodes: int, n_blocks: int):
     vb = -(-num_nodes // n_blocks)
     deg = (np.bincount(src, minlength=num_nodes)
            + np.bincount(dst, minlength=num_nodes))
-    order = np.argsort(-deg, kind="stable")
 
+    from ..native import degree_balanced_lpt_native
+
+    to_new = degree_balanced_lpt_native(deg, n_blocks, vb)
+    if to_new is None:  # no toolchain: bit-identical Python fallback
+        to_new = _lpt_python(deg, n_blocks, vb)
+
+    v_pad = n_blocks * vb
+    to_old = np.full(v_pad, num_nodes, np.int32)
+    to_old[to_new] = np.arange(num_nodes, dtype=np.int32)
+    return to_new, to_old
+
+
+def _lpt_python(deg: np.ndarray, n_blocks: int, vb: int) -> np.ndarray:
+    """Reference implementation of the LPT assignment (the native
+    graphlib.cpp::degree_balanced_lpt must match it bit for bit)."""
+    order = np.argsort(-deg, kind="stable")
     heap = [(0, s) for s in range(n_blocks)]
     heapq.heapify(heap)
     counts = np.zeros(n_blocks, np.int64)
-    to_new = np.empty(num_nodes, np.int32)
+    to_new = np.empty(len(deg), np.int32)
     for node in order:
         load, s = heapq.heappop(heap)
         to_new[node] = s * vb + counts[s]
         counts[s] += 1
         if counts[s] < vb:
             heapq.heappush(heap, (load + int(deg[node]), s))
-
-    v_pad = n_blocks * vb
-    to_old = np.full(v_pad, num_nodes, np.int32)
-    to_old[to_new] = np.arange(num_nodes, dtype=np.int32)
-    return to_new, to_old
+    return to_new
 
 
 def block_edge_counts(key, num_nodes: int, n_blocks: int) -> np.ndarray:
