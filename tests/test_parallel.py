@@ -367,49 +367,6 @@ def test_ultra_train_step_partitioned_pallas(rng):
                                    rtol=1e-3, atol=1e-4)
 
 
-def test_sharded_rspmm_pallas_per_shard(rng):
-    """North-star path: fused Pallas kernels per edge shard (interpret mode on
-    the CPU mesh) + psum — forward and gradients match the unsharded op."""
-    from ultra_torchdrug_tpu.parallel.sharded_rspmm import (
-        build_sharded_rspmm_inputs, sharded_rspmm_pallas,
-    )
-
-    mesh = make_mesh(data=1, edge=8)
-    V, E, R, B, D = 21, 150, 5, 2, 4
-    tri = np.stack([
-        rng.integers(0, V, E), rng.integers(0, V, E), rng.integers(0, R, E)
-    ], 1).astype(np.int32)
-    w = rng.uniform(0.5, 1.5, E).astype(np.float32)
-    rel = jnp.asarray(rng.normal(size=(R, B, D)).astype(np.float32))
-    x = jnp.asarray(rng.normal(size=(V, B, D)).astype(np.float32))
-
-    ei_s, et_s, ew_s, layouts = build_sharded_rspmm_inputs(
-        tri[:, :2], tri[:, 2], w, V, R, 8, tile_rows=8, tile_edges=16,
-    )
-
-    def loss_ref(rel, x):
-        out = generalized_rspmm(
-            jnp.asarray(tri[:, :2]), jnp.asarray(tri[:, 2]), jnp.asarray(w),
-            rel, x, msg="mul", agg="add", num_nodes=V,
-        )
-        return jnp.sum(out * jnp.sin(out)), out
-
-    def loss_sh(rel, x):
-        out = sharded_rspmm_pallas(
-            ew_s, layouts, rel, x, msg="mul", num_nodes=V, mesh=mesh,
-        )
-        return jnp.sum(out * jnp.sin(out)), out
-
-    (_, out_ref), (_, out_sh) = loss_ref(rel, x), loss_sh(rel, x)
-    np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref),
-                               rtol=1e-5, atol=1e-5)
-    g_ref = jax.grad(lambda r, xx: loss_ref(r, xx)[0], argnums=(0, 1))(rel, x)
-    g_sh = jax.grad(lambda r, xx: loss_sh(r, xx)[0], argnums=(0, 1))(rel, x)
-    for a, b in zip(g_ref, g_sh):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=1e-4, atol=1e-5)
-
-
 # ---------------------------------------------------------------------------
 # ring-pipelined row-sharded rspmm (O(V/n) node-state memory per chip)
 # ---------------------------------------------------------------------------
