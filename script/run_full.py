@@ -95,10 +95,10 @@ def main(argv=None):
     # and for training/eval (the conv reads current_mesh() at trace time)
     from ultra_torchdrug_tpu.engine.build import mesh_scope
 
-    with mesh_scope(cfg) as (mesh, edge_axis):
+    with mesh_scope(cfg) as (mesh, edge_axis, rel_edge_axis):
         task = build_task(
             cfg["task"], dataset, rspmm_impl=cfg.get("rspmm_impl", "auto"),
-            seed=args.seed, edge_axis=edge_axis,
+            seed=args.seed, edge_axis=edge_axis, rel_edge_axis=rel_edge_axis,
         )
         engine = build_engine(cfg, task, work_dir=work_dir, seed=args.seed,
                               mesh=mesh)

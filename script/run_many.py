@@ -115,10 +115,11 @@ def main():
             dataset = build_dataset(cfg["dataset"])
             from ultra_torchdrug_tpu.engine.build import mesh_scope
 
-            with mesh_scope(cfg) as (mesh, edge_axis):
+            with mesh_scope(cfg) as (mesh, edge_axis, rel_edge_axis):
                 task = build_task(cfg["task"], dataset,
                                   rspmm_impl=cfg.get("rspmm_impl", "auto"),
-                                  seed=seed, edge_axis=edge_axis)
+                                  seed=seed, edge_axis=edge_axis,
+                                  rel_edge_axis=rel_edge_axis)
                 engine = build_engine(cfg, task, work_dir=work_dir, seed=seed,
                                       mesh=mesh)
                 if args.ckpt and args.ckpt not in ("null", "None"):

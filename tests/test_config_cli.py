@@ -148,6 +148,8 @@ def test_run_full_cli_multichip(tmp_path):
     # the task actually partitioned: ring inputs attached to the prop graph
     cfgm = engine.task.model_cfg
     assert cfgm.entity.edge_axis == "edge"
+    # the tiny relation tower stays replicated unless parallel.relation_edge
+    assert cfgm.relation.edge_axis == ""
     m = engine.evaluate("valid")
     assert 0 < m["mrr"] <= 1
 

@@ -42,17 +42,22 @@ def build_dataset(cfg_dataset: dict):
 def mesh_scope(cfg: dict):
     """Build the run's mesh from cfg and activate it for the scope — both the
     jax Mesh context and current_mesh() (which the conv reads at trace time
-    and the task at graph-partitioning time). Yields (mesh, edge_axis); both
-    drivers enter this around task/engine construction and training."""
+    and the task at graph-partitioning time). Yields (mesh, edge_axis,
+    rel_edge_axis); both drivers enter this around task/engine construction
+    and training. rel_edge_axis is "" unless `parallel.relation_edge` opts
+    the (tiny) relation tower into edge sharding."""
     from ..parallel.mesh import use_mesh
 
     mesh = build_mesh(cfg)
     edge_axis = (
         "edge" if mesh is not None and mesh.shape.get("edge", 1) > 1 else ""
     )
+    rel_edge = (
+        edge_axis if (cfg.get("parallel") or {}).get("relation_edge") else ""
+    )
     with (mesh if mesh is not None else _contextlib.nullcontext()), \
             use_mesh(mesh):
-        yield mesh, edge_axis
+        yield mesh, edge_axis, rel_edge
 
 
 def build_mesh(cfg: dict):
@@ -72,8 +77,15 @@ def build_mesh(cfg: dict):
 
 
 def build_model_config(cfg_task: dict, num_relations: int, rspmm_impl: str = "auto",
-                       edge_axis: str = ""):
+                       edge_axis: str = "", rel_edge_axis: str = None):
+    """rel_edge_axis: edge sharding for the RELATION tower. Defaults to off
+    even when edge_axis is set — the relation graph is tiny (hundreds of
+    nodes; it takes the dense MXU path replicated in ~8.5 ms at FB scale),
+    so sharding it costs more in collectives than it saves; opt in with
+    `parallel: {relation_edge: true}` for huge relation vocabularies."""
     impl = resolve_rspmm_impl(rspmm_impl)
+    if rel_edge_axis is None:
+        rel_edge_axis = ""
     m = cfg_task["model"]
     entity = entity_nbfnet_config(
         input_dim=m["input_dim"],
@@ -99,7 +111,7 @@ def build_model_config(cfg_task: dict, num_relations: int, rspmm_impl: str = "au
         hidden=rm.get("hidden", 64),
         num_layers=rm.get("num_layers", 6),
         rspmm_impl=impl,
-        edge_axis=edge_axis,
+        edge_axis=rel_edge_axis,
         learn_query=bool(rm.get("learn_query", False)),
         remat=rm.get("remat", cfg_task.get("remat", False)),
         compute_dtype=str(rm.get("compute_dtype",
@@ -143,7 +155,7 @@ def build_task_config(cfg_task: dict, default_metrics) -> TaskConfig:
 
 
 def build_task(cfg_task: dict, dataset, rspmm_impl: str = "auto", seed: int = 0,
-               edge_axis: str = ""):
+               edge_axis: str = "", rel_edge_axis: str = None):
     cls_name = cfg_task["class"]
     task_cls = _TASK_CLASSES[cls_name]
     if task_cls is MultiGraphPretrainTask:
@@ -159,7 +171,8 @@ def build_task(cfg_task: dict, dataset, rspmm_impl: str = "auto", seed: int = 0,
         num_relations = dataset.num_relations
         defaults = DEFAULT_TRANSDUCTIVE_METRICS
     model_cfg = build_model_config(cfg_task, num_relations, rspmm_impl,
-                                   edge_axis=edge_axis)
+                                   edge_axis=edge_axis,
+                                   rel_edge_axis=rel_edge_axis)
     task_cfg = build_task_config(cfg_task, defaults)
     if task_cls is TransductiveKGTask:
         return task_cls(dataset, model_cfg, task_cfg, seed=seed)
