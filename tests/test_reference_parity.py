@@ -273,3 +273,72 @@ def test_gradients_match_torch_autograd(setup, tmp_path):
         )
         compared += 1
     assert compared >= 4 * (N_ENT_LAYERS + N_REL_LAYERS)
+
+
+def test_classic_nbfnet_scores_match_oracle():
+    """End-to-end classic NBFNet (NeuralBellmanFordNetwork,
+    /root/reference/ultra/model.py:198-392): learned query embeddings,
+    per-layer DEPENDENT relation projections, pna aggregation, [state;query]
+    MLP scoring — all-entity scores against the torch oracle built from the
+    same weights."""
+    from ultra_torchdrug_tpu.models.classic_nbfnet import (
+        classic_nbfnet_config, classic_nbfnet_init, classic_score_all,
+    )
+
+    rng = np.random.default_rng(5)
+    v, rr, b, d = 18, 4, 3, 8
+    e = 90
+    tri = np.stack([rng.integers(0, v, e), rng.integers(0, v, e),
+                    rng.integers(0, rr, e)], 1).astype(np.int32)
+    g = Graph.from_triplets(tri, v, rr)
+    g_und = g.undirected_with_inverse()
+
+    cfg = classic_nbfnet_config(
+        input_dim=d, hidden_dims=(d, d), num_relations=rr,
+        aggregate_func="pna", dependent=True,
+    )
+    params = classic_nbfnet_init(jax.random.PRNGKey(3), cfg)
+    source = np.array([0, 5, 9], np.int32)
+    qrel = np.array([1, 0, 2 + rr], np.int32)  # incl. an inverse relation
+
+    scores_jax = np.asarray(classic_score_all(
+        params, cfg, g_und, jnp.asarray(source), jnp.asarray(qrel)
+    ))  # [B, V]
+
+    # ---- torch oracle from the same weights -------------------------------
+    und = np.asarray(g_und.edge_list)
+    edges_t = torch.tensor(und[:, :2], dtype=torch.long)
+    etype_t = torch.tensor(und[:, 2], dtype=torch.long)
+    ew_t = torch.tensor(np.asarray(g_und.edge_weight))
+    R2 = cfg.num_relations
+
+    query = torch.tensor(
+        np.asarray(params["query"]["weight"]))[torch.tensor(qrel, dtype=torch.long)]
+    x = torch.zeros(v, b, d)
+    x[torch.tensor(source, dtype=torch.long), torch.arange(b)] = query
+    boundary = x.clone()
+    for i, lp in enumerate(params["layers"]):
+        wl = torch.tensor(np.asarray(lp["relation_linear"]["w"]))
+        bl = torch.tensor(np.asarray(lp["relation_linear"]["b"]))
+        rel_input = (query @ wl + bl).view(b, R2, d)  # dependent projection
+        sd = {
+            "l.linear.weight": torch.tensor(np.asarray(lp["linear"]["w"]).T),
+            "l.linear.bias": torch.tensor(np.asarray(lp["linear"]["b"])),
+        }
+        p = oracle.ConvParams(sd, "l", has_ln=False)
+        h = oracle.conv_forward(
+            p, edges_t, etype_t, ew_t, v, x, boundary,
+            rel_input=rel_input, message_func=cfg.message_func,
+            aggregate_func="pna",
+        )
+        if h.shape == x.shape:
+            h = h + x  # short_cut
+        x = h
+    feat = torch.cat([x, query.unsqueeze(0).expand(v, b, d)], -1)
+    mlp_layers = [
+        (torch.tensor(np.asarray(ml["w"]).T), torch.tensor(np.asarray(ml["b"])))
+        for ml in params["mlp"]["layers"]
+    ]
+    scores_ref = oracle.mlp(mlp_layers, feat)[..., 0].T.numpy()  # [B, V]
+
+    np.testing.assert_allclose(scores_jax, scores_ref, rtol=3e-5, atol=3e-5)
