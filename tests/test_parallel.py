@@ -774,3 +774,31 @@ def test_ultra_train_step_ring_permuted_balanced(rng):
                     jax.tree_util.tree_leaves(grads_r)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_eval_data_parallel_matches_single(tmp_path, rng):
+    """Eval batches shard over the mesh's data axis (single-process
+    multi-device); metrics are identical to the un-meshed run."""
+    from ultra_torchdrug_tpu.data.datasets import synthetic_transductive
+    from ultra_torchdrug_tpu.engine.engine import Engine
+    from ultra_torchdrug_tpu.tasks.task import TaskConfig, TransductiveKGTask
+
+    ds = synthetic_transductive(num_nodes=30, num_edges=240, num_relations=4)
+    cfg = UltraConfig(
+        entity=entity_nbfnet_config(input_dim=8, hidden_dims=(8, 8),
+                                    num_relations=ds.num_relations * 2),
+        relation=rel_nbfnet_config(input_dim=8, hidden=8, num_layers=2),
+    )
+
+    def run(mesh):
+        task = TransductiveKGTask(ds, cfg, TaskConfig(num_negative=8))
+        eng = Engine(task, batch_size=16, lr=1e-3, seed=7,
+                     work_dir=str(tmp_path), log_interval=10**9, mesh=mesh)
+        ctx = use_mesh(mesh) if mesh is not None else use_mesh(None)
+        with ctx:
+            return eng.evaluate("valid")
+
+    m_single = run(None)
+    m_dp = run(make_mesh(data=8, edge=1))
+    for k in ("mrr", "mr", "hits@10"):
+        assert abs(m_single[k] - m_dp[k]) < 1e-6, k

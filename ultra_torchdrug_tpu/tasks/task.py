@@ -265,6 +265,18 @@ class _TaskBase:
         total = len(triples)
         triples = dist.shard_eval_triples(triples)
         n = len(triples)
+        # single-process multi-device: shard the eval batch over the mesh's
+        # data axis (scoring is per-triple; XLA propagates the sharding) —
+        # multi-HOST sharding is the round-robin split above
+        batch_sharding = None
+        from ..parallel.mesh import current_mesh
+
+        mesh = current_mesh()
+        if mesh is not None and mesh.shape.get("data", 1) > 1 \
+                and batch_size % mesh.shape["data"] == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sharding = NamedSharding(mesh, P("data"))
         rankings, cands = [], []
         for start in range(0, n, batch_size):
             chunk = triples[start : start + batch_size]
@@ -272,7 +284,10 @@ class _TaskBase:
             if pad:
                 chunk = np.concatenate([chunk, np.repeat(chunk[:1], pad, 0)], 0)
             key = jax.random.fold_in(jax.random.PRNGKey(1024), start)
-            ranking, num_cand = eval_fn(params, jnp.asarray(chunk), key)
+            chunk = jnp.asarray(chunk)
+            if batch_sharding is not None:
+                chunk = jax.device_put(chunk, batch_sharding)
+            ranking, num_cand = eval_fn(params, chunk, key)
             # keep results on device: fetching here would block the host on
             # every batch and stall dispatch of the next one (per-batch
             # round trips are 15-40 ms over the remote-TPU tunnel); the
