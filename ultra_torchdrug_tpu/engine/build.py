@@ -76,6 +76,19 @@ def build_mesh(cfg: dict):
     return make_mesh(data=dp, edge=ep)
 
 
+def _resolve_score_chunk(cfg_task: dict, m: dict) -> int:
+    """`full_batch_eval: no` is the reference's memory-bounded eval mode —
+    candidates scored in num_negative-sized chunks (task.py:602-618). Here
+    the equivalent lever is the scoring tail's entity chunking, so it maps
+    onto score_chunk when score_chunk is not set explicitly."""
+    chunk = m.get("score_chunk", cfg_task.get("score_chunk"))
+    if chunk is not None:
+        return int(chunk)
+    if not bool(cfg_task.get("full_batch_eval", True)):
+        return max(int(cfg_task.get("num_negative", 128)), 1)
+    return 0
+
+
 def build_model_config(cfg_task: dict, num_relations: int, rspmm_impl: str = "auto",
                        edge_axis: str = "", rel_edge_axis: str = None):
     """rel_edge_axis: edge sharding for the RELATION tower. Defaults to off
@@ -102,7 +115,7 @@ def build_model_config(cfg_task: dict, num_relations: int, rspmm_impl: str = "au
         edge_axis=edge_axis,
         remat=m.get("remat", cfg_task.get("remat", False)),
         compute_dtype=str(m.get("compute_dtype", "float32")),
-        score_chunk=int(m.get("score_chunk", cfg_task.get("score_chunk", 0))),
+        score_chunk=_resolve_score_chunk(cfg_task, m),
     )
     rel_models_cfg = cfg_task.get("rel_models", {})
     rm = rel_models_cfg.get("rel_model", {})
@@ -148,7 +161,6 @@ def build_task_config(cfg_task: dict, default_metrics) -> TaskConfig:
         metrics=tuple(metric) if metric else default_metrics,
         sample_weight=bool(cfg_task.get("sample_weight", False)),
         fact_ratio=cfg_task.get("fact_ratio"),
-        full_batch_eval=bool(cfg_task.get("full_batch_eval", True)),
         metric_per_rel=bool(cfg_task.get("metric_per_rel", False)),
         toy_eval=bool(cfg_task.get("toy_eval", False)),
     )

@@ -138,9 +138,9 @@ class Engine:
                 return params, opt_state, metrics
 
         if self._is_multigraph:
-            # ensure the per-graph loss fn exists before jitting the step
-            dummy = np.zeros((self.batch_size, 3), np.int32)
-            self.task.loss_step(self.params, jax.random.PRNGKey(0), dummy, graph_id)
+            # build (never execute) the per-graph loss fn: it inlines into
+            # this step's jit, so a standalone compile would be thrown away
+            self.task.ensure_loss_fn(graph_id)
         kwargs = {}
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -239,7 +239,9 @@ class Engine:
                             idx = np.concatenate(
                                 [idx, order[: self.batch_size - len(idx)]]
                             )
-                        batches.append(triples[idx])
+                        # _full_batch backstops datasets smaller than half a
+                        # batch, where one wrap still underfills
+                        batches.append(self._full_batch(triples, idx))
                         sws.append(task.sample_weight_for(batches[-1]))
                     if K == 1:
                         batch, sw = batches[0], sws[0]

@@ -61,7 +61,6 @@ class TaskConfig:
     metrics: Sequence[str] = DEFAULT_TRANSDUCTIVE_METRICS
     sample_weight: bool = False
     fact_ratio: Optional[float] = None
-    full_batch_eval: bool = True
     metric_per_rel: bool = False
     toy_eval: bool = False  # 50-sampled-negative protocol (task.py:474-484)
 
@@ -239,7 +238,10 @@ class _TaskBase:
                 h_pos = jnp.take_along_axis(h_scores, h[:, None], axis=1)
                 t_rank = toy_eval_ranking(kt, t_pos, t_scores, ~t_truth)
                 h_rank = toy_eval_ranking(kh, h_pos, h_scores, ~h_truth)
-                ranking = jnp.stack([t_rank, h_rank], axis=1).astype(jnp.int32)
+                # optimistic/pessimistic AVERAGE ranks are x.5 on score ties
+                # and stay float in the reference (task.py:483-484) — int
+                # truncation would bias MR low / MRR high
+                ranking = jnp.stack([t_rank, h_rank], axis=1).astype(jnp.float32)
                 # sampled protocol: 50 negatives + positive (task.py:499-501)
                 num_cand = jnp.full(ranking.shape, 51.0, jnp.float32)
                 return ranking, num_cand
@@ -273,7 +275,11 @@ class _TaskBase:
 
         mesh = current_mesh()
         if mesh is not None and mesh.shape.get("data", 1) > 1 \
-                and batch_size % mesh.shape["data"] == 0:
+                and batch_size % mesh.shape["data"] == 0 \
+                and jax.process_count() == 1:
+            # multi-HOST runs already shard triples round-robin above —
+            # device_put over a global mesh there would interleave the
+            # hosts' DIFFERENT chunks into one garbled global batch
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             batch_sharding = NamedSharding(mesh, P("data"))
@@ -284,9 +290,12 @@ class _TaskBase:
             if pad:
                 chunk = np.concatenate([chunk, np.repeat(chunk[:1], pad, 0)], 0)
             key = jax.random.fold_in(jax.random.PRNGKey(1024), start)
-            chunk = jnp.asarray(chunk)
             if batch_sharding is not None:
+                # one transfer straight to the sharded layout (a jnp.asarray
+                # first would commit to device 0 and reshard = two hops)
                 chunk = jax.device_put(chunk, batch_sharding)
+            else:
+                chunk = jnp.asarray(chunk)
             ranking, num_cand = eval_fn(params, chunk, key)
             # keep results on device: fetching here would block the host on
             # every batch and stall dispatch of the next one (per-batch
@@ -417,12 +426,21 @@ class InductiveKGTask(_TaskBase):
         # eval filter-graph selection (task.py:435-447): valid uses the
         # transductive filter graph iff the valid propagation graph is the
         # train graph (use_inductive_valid = no)
-        valid_is_train = (
+        # identity short-circuit (the GraIL loaders reuse one object), then
+        # compare HOST edge caches — np.asarray(edge_list) would read the
+        # full device arrays back over the tunnel (~100s at WN18RR scale)
+        valid_is_train = dataset.valid_graph is dataset.train_graph or (
             dataset.valid_graph.num_edges == dataset.train_graph.num_edges
             and bool(
                 np.array_equal(
-                    np.asarray(dataset.valid_graph.edge_list),
-                    np.asarray(dataset.train_graph.edge_list),
+                    dataset.valid_graph.host_edge_index(),
+                    dataset.train_graph.host_edge_index(),
+                )
+            )
+            and bool(
+                np.array_equal(
+                    dataset.valid_graph.host_edge_type(),
+                    dataset.train_graph.host_edge_type(),
                 )
             )
         )
@@ -510,22 +528,21 @@ class MultiGraphPretrainTask(_TaskBase):
             self.train_triples.append(train)
         self.num_graphs = len(self.graphs)
         self.num_relations = max(g.num_relations for g in self.graphs)
+        # edge-count mixture weights, fixed at construction (engine.py:23-28)
+        probs = np.array([g.num_edges for g in self.fact_graphs], np.float64)
+        self._graph_probs = probs / probs.sum()
         self._loss_fns = {}
         self._eval_fns = {}
 
     # edge-count-weighted graph choice (engine.py:23-28)
     def sample_graph_id(self, rng: np.random.Generator) -> int:
-        probs = np.array([g.num_edges for g in self.fact_graphs], np.float64)
-        probs /= probs.sum()
-        return int(rng.choice(self.num_graphs, p=probs))
+        return int(rng.choice(self.num_graphs, p=self._graph_probs))
 
-    def sample_batch(self, rng: np.random.Generator, batch_size: int):
-        gid = self.sample_graph_id(rng)
-        edges = self.train_triples[gid]
-        idx = rng.permutation(len(edges))[:batch_size]
-        return edges[idx], gid
-
-    def loss_step(self, params, key, batch: np.ndarray, graph_id: int):
+    def ensure_loss_fn(self, graph_id: int):
+        """Build (without executing) the per-graph loss fn; callers that
+        inline it into a larger jit (the engine's fused step) use this so the
+        standalone executable is never compiled — over the remote tunnel a
+        throwaway Mosaic compile costs minutes per pretrain graph."""
         if graph_id not in self._loss_fns:
             self._loss_fns[graph_id] = jax.jit(
                 self._build_loss_fn(
@@ -534,7 +551,12 @@ class MultiGraphPretrainTask(_TaskBase):
                     self.fact_graphs[graph_id].num_nodes,
                 )
             )
-        return self._loss_fns[graph_id](params, key, jnp.asarray(batch), None)
+        return self._loss_fns[graph_id]
+
+    def loss_step(self, params, key, batch: np.ndarray, graph_id: int):
+        return self.ensure_loss_fn(graph_id)(
+            params, key, jnp.asarray(batch), None
+        )
 
     def eval_sets(self, split: str):
         """[(graph_name, graph_id, triples)] for the given split."""
