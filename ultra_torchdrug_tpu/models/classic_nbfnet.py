@@ -19,9 +19,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.graph import Graph
-from ..nn.core import embedding_init, mlp_apply, mlp_init
+from ..nn.core import embedding_init, mlp_init
 from .layers import conv_apply, conv_init
-from .nbfnet import NBFNetConfig
+from .nbfnet import NBFNetConfig, _mlp_head_split
 
 
 def classic_nbfnet_config(
@@ -89,14 +89,16 @@ def _bellmanford(
         hiddens.append(h)
         x = h
     out = jnp.concatenate(hiddens, -1) if cfg.concat_hidden else hiddens[-1]
-    node_query = jnp.broadcast_to(query[None], (V, B, cfg.input_dim))
-    return jnp.concatenate([out, node_query], axis=-1), query
+    return out, query
 
 
 def classic_score_all(params, cfg, graph_und: Graph, source, query_rel) -> jnp.ndarray:
-    """[B, V] scores for (source[b], query_rel[b], ?) over all entities."""
-    feature, _ = _bellmanford(params, cfg, graph_und, source, query_rel)
-    return mlp_apply(params["mlp"], feature)[..., 0].T
+    """[B, V] scores for (source[b], query_rel[b], ?) over all entities.
+    The [state; query] MLP head runs split (nbfnet._mlp_head_split): the
+    query half is one [B, H] matmul broadcast into the sum, so the
+    [V, B, feat+D] concat is never materialized."""
+    feature, query = _bellmanford(params, cfg, graph_und, source, query_rel)
+    return _mlp_head_split(params["mlp"], feature, query)[..., 0].T
 
 
 # ---------------------------------------------------------------------------
@@ -113,12 +115,12 @@ def edge_gradients(
     base_w = graph_und.edge_weight
 
     def score_fn(edge_weights):
-        feature, _ = _bellmanford(
+        feature, query = _bellmanford(
             params, cfg, graph_und,
             jnp.asarray([h_index]), jnp.asarray([r_index]),
             edge_grad=True, edge_weights=list(edge_weights),
         )
-        score = mlp_apply(params["mlp"], feature)[..., 0]  # [V, 1]
+        score = _mlp_head_split(params["mlp"], feature, query)[..., 0]  # [V, 1]
         return score[t_index, 0]
 
     grads = jax.grad(score_fn)(tuple(base_w for _ in range(num_layers)))

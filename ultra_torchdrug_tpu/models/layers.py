@@ -168,6 +168,7 @@ def conv_apply(
     query: Optional[jnp.ndarray] = None,
     rel_injected: Optional[jnp.ndarray] = None,
     edge_grad: bool = False,
+    block_domain: bool = False,
 ) -> jnp.ndarray:
     """One message-passing step.
 
@@ -181,6 +182,11 @@ def conv_apply(
       rel_injected: externally supplied relation reps ("injected" mode)
       edge_grad: route through the autodiff path so d(edge_weight) flows
         (path interpretability; mirrors layer.py:112's fallback condition)
+      block_domain: the caller passes x/boundary in the ring path's padded
+        block domain (see ring_block_domain) — REQUIRED for a permuted_io
+        ring graph to take the ring route; without it the conv falls back to
+        the replicated paths, since original-order states must never meet
+        relabeled ring buckets
     Returns: [V, B, output_dim]
     """
     rel = _relation_input(params, cfg, query, rel_injected)
@@ -215,12 +221,10 @@ def conv_apply(
             mesh = current_mesh()
             if mesh is not None and cfg.edge_axis in mesh.axis_names:
                 ri = graph.ring_inputs
-                if (ri is not None and ri.permuted_io
-                        and ring_block_domain(cfg, graph, edge_grad) is None):
-                    # the model could not hold the block-domain contract for
-                    # this config (e.g. mean/pna consume original-order
-                    # degree) — x is in original order, so ring's relabeled
-                    # buckets must not see it; fall to the replicated paths
+                if ri is not None and ri.permuted_io and not block_domain:
+                    # x is in original node order (the caller did not take
+                    # block-domain ownership) — ring's relabeled buckets
+                    # must not see it; fall to the replicated paths
                     ri = None
                 if cfg.rspmm_impl == "ring" and ri is not None:
                     from ..parallel.ring_rspmm import ring_rspmm
@@ -228,12 +232,14 @@ def conv_apply(
                     out = ring_rspmm(
                         graph.edge_weight, graph.ring_inputs, relation, xx,
                         msg=msg, mesh=mesh, axis=cfg.edge_axis,
+                        compute_dtype=cfg.compute_dtype,
                     )
                 elif (cfg.rspmm_impl == "pallas"
                         and graph.part_layouts is not None):
                     out = partitioned_rspmm_pallas(
                         graph.edge_weight, graph.part_layouts, relation, xx,
                         msg=msg, mesh=mesh, axis=cfg.edge_axis,
+                        compute_dtype=cfg.compute_dtype,
                     )
                 else:
                     out = sharded_rspmm(

@@ -123,6 +123,7 @@ def _propagate(
     query=None,
     rel_injected=None,
     edge_grad: bool = False,
+    block_domain: bool = False,
 ):
     """Run the conv stack from the boundary condition; returns the final
     hidden state (or concat of all hiddens if concat_hidden)."""
@@ -140,6 +141,7 @@ def _propagate(
             h = conv_apply(
                 p, lcfg, graph, x_flat.reshape(shape3), boundary,
                 query=query, rel_injected=rel_injected, edge_grad=edge_grad,
+                block_domain=block_domain,
             )
             if cfg.short_cut and h.shape == shape3:
                 h = h + x_flat.reshape(shape3)
@@ -157,6 +159,7 @@ def _propagate(
         h = conv_apply(
             p, lcfg, graph, x, boundary,
             query=query, rel_injected=rel_injected, edge_grad=edge_grad,
+            block_domain=block_domain,
         )
         if cfg.short_cut and h.shape == x.shape:
             h = h + x
@@ -352,6 +355,7 @@ def entity_nbfnet_score_all(
         final = _propagate(
             params["layers"], cfg.layer_configs(), graph, boundary, cfg,
             rel_injected=per_layer[0], edge_grad=edge_grad,
+            block_domain=ring is not None,
         )
     else:
         # distinct per-layer injections (multi-rel-model wiring): explicit loop
@@ -359,7 +363,8 @@ def entity_nbfnet_score_all(
         x = boundary
         for p, lcfg, rel_i in zip(params["layers"], cfg.layer_configs(), per_layer):
             h = conv_apply(p, lcfg, graph, x, boundary,
-                           rel_injected=rel_i, edge_grad=edge_grad)
+                           rel_injected=rel_i, edge_grad=edge_grad,
+                           block_domain=ring is not None)
             if cfg.short_cut and h.shape == x.shape:
                 h = h + x
             hiddens.append(h)

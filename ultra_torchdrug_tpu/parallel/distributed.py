@@ -54,9 +54,11 @@ def reduce_metrics_mean(metrics: Dict[str, float]) -> Dict[str, float]:
     engine.py:89-90). Uses a tiny jitted psum over all devices."""
     if jax.process_count() == 1:
         return metrics
+    from jax.experimental import multihost_utils
+
     keys = sorted(metrics)
     vec = np.asarray([float(metrics[k]) for k in keys], np.float32)
-    summed = jax.experimental.multihost_utils.process_allgather(vec)
+    summed = multihost_utils.process_allgather(vec)
     mean = np.asarray(summed).mean(axis=0)
     return dict(zip(keys, mean.tolist()))
 

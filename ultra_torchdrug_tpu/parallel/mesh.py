@@ -60,7 +60,3 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def pad_edges_for_sharding(num_edges: int, n_shards: int) -> int:
-    """Edges must divide evenly across the edge axis; weight-0 padding edges
-    are aggregation no-ops."""
-    return -(-num_edges // n_shards) * n_shards

@@ -211,8 +211,9 @@ def _messages(relation, etype, rows, msg: str):
 @lru_cache(maxsize=None)
 def _make_ring_rspmm(
     msg: str, num_nodes: int, v_block: int, n_shards: int, mesh: Mesh,
-    axis: str, use_pallas: bool = False,
+    axis: str, use_pallas: bool = False, compute_dtype: str = "float32",
 ):
+    cdtype = jnp.dtype(compute_dtype)
     espec = P(axis)
     rep = P()
     n = n_shards
@@ -241,6 +242,7 @@ def _make_ring_rspmm(
                 out = out + rspmm_fwd_pallas(
                     RspmmLayouts(fwd=lay_b, rev=None), edge_weight,
                     relation, x_rot, msg=msg, num_nodes=vb,
+                    compute_dtype=cdtype,
                 )
             else:
                 bk = _bucket_at(bks, b)
@@ -276,7 +278,7 @@ def _make_ring_rspmm(
                 lay_b = jax.tree_util.tree_map(lambda a: a[0][b], rev_lay)
                 dr_p, dx_p = rspmm_bwd_pallas(
                     RspmmLayouts(fwd=None, rev=lay_b), edge_weight,
-                    relation, x_own, g_rot, msg=msg,
+                    relation, x_own, g_rot, msg=msg, compute_dtype=cdtype,
                 )
                 dx = dx + dx_p
             else:
@@ -399,6 +401,7 @@ def ring_rspmm(
     msg: str,
     mesh: Mesh,
     axis: str = "edge",
+    compute_dtype: str = "float32",
 ):
     """AGG='add' rspmm with ring-pipelined row-sharded node states (module
     banner). edge_weight: replicated [E]; relation replicated; x [V, ...]
@@ -406,10 +409,10 @@ def ring_rspmm(
     Returns [V, ...] row-sharded the same way. When the inputs carry
     per-bucket CSR layouts (build_ring_rspmm_inputs(pallas=True)) and
     msg='mul', each ring step runs the fused Pallas kernels instead of XLA
-    segment ops."""
+    segment ops (compute_dtype applies there, like the single-chip op)."""
     use_pallas = inputs.fwd_lay is not None and msg == "mul"
     fn = _make_ring_rspmm(
         msg, inputs.num_nodes, inputs.v_block, inputs.n_shards, mesh, axis,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, compute_dtype=str(compute_dtype),
     )
     return fn(edge_weight, inputs, relation, x)

@@ -98,10 +98,24 @@ def sharded_rspmm(
     edge_index, edge_type, edge_weight, relation, x,
     *, msg: str, num_nodes: int, mesh: Mesh, axis: str = "edge",
 ):
-    """AGG='add' edge-partitioned rspmm, XLA segment-op body. Edge arrays must
-    be divisible by the edge-axis size (pad with weight-0 edges). The Pallas
-    production path is ``partitioned_rspmm_pallas`` (destination/source
-    row-block partitioning, no full-tensor all-reduce)."""
+    """AGG='add' edge-partitioned rspmm, XLA segment-op body. Edge arrays are
+    padded here to a multiple of the edge-axis size with weight-0 edges
+    (aggregation no-ops), so any E works. The Pallas production path is
+    ``partitioned_rspmm_pallas`` (destination/source row-block partitioning,
+    no full-tensor all-reduce)."""
+    n = mesh.shape[axis]
+    E = edge_index.shape[0]
+    pad = (-E) % n
+    if pad:
+        edge_index = jnp.concatenate(
+            [edge_index, jnp.zeros((pad, 2), edge_index.dtype)], 0
+        )
+        edge_type = jnp.concatenate(
+            [edge_type, jnp.zeros((pad,), edge_type.dtype)], 0
+        )
+        edge_weight = jnp.concatenate(
+            [edge_weight, jnp.zeros((pad,), edge_weight.dtype)], 0
+        )
     fn = _make_sharded_rspmm(msg, int(num_nodes), mesh, axis)
     return fn(edge_index, edge_type, edge_weight, relation, x)
 
@@ -225,7 +239,8 @@ def build_partitioned_rspmm_inputs(
 
 @lru_cache(maxsize=None)
 def _make_partitioned_rspmm_pallas(
-    msg: str, num_nodes: int, v_block: int, n_shards: int, mesh: Mesh, axis: str
+    msg: str, num_nodes: int, v_block: int, n_shards: int, mesh: Mesh,
+    axis: str, compute_dtype: str = "float32",
 ):
     from ..ops.csr import RspmmLayouts
     from ..ops.rspmm_pallas import rspmm_bwd_pallas, rspmm_fwd_pallas
@@ -241,11 +256,14 @@ def _make_partitioned_rspmm_pallas(
             [arr, jnp.zeros((v_pad - arr.shape[0],) + arr.shape[1:], arr.dtype)], 0
         )
 
+    cdtype = jnp.dtype(compute_dtype)
+
     def local_fwd(edge_weight, fwd_lay, relation, x):
         sq = jax.tree_util.tree_map(lambda a: a[0], fwd_lay)
         lay = RspmmLayouts(fwd=sq, rev=None)
         return rspmm_fwd_pallas(
-            lay, edge_weight, relation, x, msg=msg, num_nodes=v_block
+            lay, edge_weight, relation, x, msg=msg, num_nodes=v_block,
+            compute_dtype=cdtype,
         )
 
     fwd_sm = shard_map(
@@ -263,7 +281,8 @@ def _make_partitioned_rspmm_pallas(
         )
         lay = RspmmLayouts(fwd=None, rev=sq_rev, rel=sq_rel)
         dr, dx_local = rspmm_bwd_pallas(
-            lay, edge_weight, relation, x_local, g, msg=msg
+            lay, edge_weight, relation, x_local, g, msg=msg,
+            compute_dtype=cdtype,
         )
         return jax.lax.psum(dr, axis), dx_local
 
@@ -329,13 +348,15 @@ def partitioned_rspmm_pallas(
     msg: str,
     mesh: Mesh,
     axis: str = "edge",
+    compute_dtype: str = "float32",
 ):
     """AGG='add' rspmm through the fused Pallas kernels with destination/
     source row-block edge partitioning (see module banner). edge_weight is
     the replicated [E] per-batch weight vector; relation/x replicated; the
     output is returned row-sharded along `axis`."""
     fn = _make_partitioned_rspmm_pallas(
-        msg, layouts.num_nodes, layouts.v_block, layouts.n_shards, mesh, axis
+        msg, layouts.num_nodes, layouts.v_block, layouts.n_shards, mesh,
+        axis, compute_dtype=str(compute_dtype),
     )
     return fn(edge_weight, layouts, relation, x)
 

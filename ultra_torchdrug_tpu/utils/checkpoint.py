@@ -218,7 +218,7 @@ def import_torch_checkpoint(path: str, params_template, fix_reasoner: bool = Fal
     return _to_device(params)
 
 
-def export_torch_checkpoint(path: str, params, num_relations_rel_tower: int = 4):
+def export_torch_checkpoint(path: str, params):
     """Write our parameter tree as a reference-layout torch ``.pth`` state
     dict (inverse of import_torch_checkpoint) — lets reference-side tooling
     consume checkpoints trained here. Dead reference parameters that have no

@@ -78,7 +78,10 @@ def parse_args(argv=None):
     tvars = detect_variables(args.config)
     var_parser = argparse.ArgumentParser()
     for var in tvars:
-        var_parser.add_argument(f"--{var}", default=None)
+        # required, like the reference (util.py:84-86) — a missing flag
+        # would otherwise render as an empty string and break the config
+        # far downstream
+        var_parser.add_argument(f"--{var}", required=True)
     picked = var_parser.parse_known_args(unparsed)[0]
     context = {
         k: literal_eval(v) for k, v in vars(picked).items() if v is not None
