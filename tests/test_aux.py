@@ -71,6 +71,26 @@ def test_variadic_sort_and_topk(rng):
         off += s
 
 
+def test_variadic_topk_empty_segment_sentinel():
+    # an empty segment must NOT leak the next segment's best entry
+    vals = jnp.asarray(np.array([4.0, 7.0], np.float32))
+    sizes = jnp.asarray(np.array([0, 2], np.int32))
+    topv, topi = variadic.variadic_topk(vals, sizes, 1)
+    assert np.asarray(topv)[0, 0] == -np.inf
+    assert np.asarray(topi)[0, 0] == -1
+    np.testing.assert_allclose(np.asarray(topv)[1, 0], 7.0)
+
+
+def test_variadic_unique_duplicates():
+    # duplicates within a segment must compact, not zero out uniques
+    vals = jnp.asarray(np.array([5.0, 5.0, 3.0], np.float32))
+    sizes = jnp.asarray(np.array([3], np.int32))
+    out, new_sizes, keep = variadic.variadic_unique(vals, sizes)
+    assert int(new_sizes[0]) == 2
+    np.testing.assert_array_equal(np.asarray(out)[:2], [3.0, 5.0])
+    assert int(np.asarray(keep).sum()) == 2
+
+
 def test_variadic_shuffle_preserves_segments(rng):
     sizes = np.array([4, 3], np.int32)
     vals = np.arange(7).astype(np.float32)

@@ -374,6 +374,32 @@ def test_pallas_hot_row_split(rng, msg):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_hot_split_with_empty_cold_subset(rng):
+    """A graph whose edges ALL come from hot sources leaves the cold subset
+    empty: layout build must not crash (regression: _remap_edge_id indexed an
+    empty id array) and the kernel result must still match XLA."""
+    V, E = 64, 200
+    src = rng.integers(0, 4, E).astype(np.int32)  # only 4 distinct sources
+    dst = rng.integers(0, V, E).astype(np.int32)
+    et = rng.integers(0, 6, E).astype(np.int32)
+    ei = np.stack([src, dst], axis=1)
+    layouts = build_rspmm_layouts(
+        ei, et, V, 6, tile_rows=16, tile_edges=32, hot_rows=8,
+        include_rel_layout=True,
+    )
+    rel_b = rng.normal(size=(6, 4, 8)).astype(np.float32)
+    x = rng.normal(size=(V, 4, 8)).astype(np.float32)
+    w = np.ones(E, np.float32)
+    args = (jnp.asarray(ei), jnp.asarray(et), jnp.asarray(w),
+            jnp.asarray(rel_b), jnp.asarray(x))
+    want = generalized_rspmm(*args, msg="mul", agg="add", num_nodes=V,
+                             impl="xla")
+    got = generalized_rspmm(*args, msg="mul", agg="add", num_nodes=V,
+                            impl="pallas", layouts=layouts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("impl", ["xla", "pallas"])
 @pytest.mark.parametrize("agg", ["add", "max"])
 def test_flat_mode_matches_3d(rng, impl, agg):

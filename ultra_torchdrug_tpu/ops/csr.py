@@ -67,6 +67,11 @@ def build_layout(
     available; numpy otherwise."""
     from ..native import csr_layout_build_native
 
+    # the Pallas kernels iterate tile_edges in units of GROUP == NACC == 8
+    # (te // 8 groups per chunk); a non-multiple would silently drop the
+    # trailing te % 8 edges of every chunk
+    assert tile_edges % 8 == 0, f"tile_edges must be a multiple of 8, got {tile_edges}"
+
     native = csr_layout_build_native(
         np.asarray(row_ids, np.int32), np.asarray(gather1_ids, np.int32),
         None if gather2_ids is None else np.asarray(gather2_ids, np.int32),
@@ -218,7 +223,13 @@ def pad_layout_chunks(layout: CsrLayout, num_chunks: int) -> CsrLayout:
 def _remap_edge_id(layout: CsrLayout, orig_ids: np.ndarray) -> CsrLayout:
     """Layouts built over an edge SUBSET carry subset-relative edge_id; remap
     to the original edge array so per-batch weight gathers stay global."""
-    remapped = np.asarray(orig_ids, np.int32)[np.asarray(layout.edge_id)]
+    orig_ids = np.asarray(orig_ids, np.int32)
+    if orig_ids.size == 0:
+        # empty subset (e.g. every edge sourced from a hot row, so the cold
+        # half is empty): the layout is all padding (valid=0 throughout) and
+        # its zero-filled edge_id must not index into the empty id array
+        return layout
+    remapped = orig_ids[np.asarray(layout.edge_id)]
     return dataclasses.replace(layout, edge_id=remapped)
 
 

@@ -36,7 +36,6 @@ from jax.experimental.pallas import tpu as pltpu
 from .csr import CsrLayout
 
 _VMEM_DATA_BUDGET = 56 * 1024 * 1024  # gathered operand VMEM residency cap
-NBUF = 16  # per-edge DMA lookahead depth (two-gather template)
 GROUP = 8  # row DMAs per shared semaphore (grouped-wait templates)
 NGRP = 4   # groups in flight
 _LANE = 128
@@ -379,6 +378,7 @@ def _kernel_bwd_fused_vmem(
     cr_ref, meta_hbm, w_hbm, g_ref, rel_ref, x_ref, dx_ref, dr_ref,
     mbuf, wbuf, msems, wsems, mark_ref, xrow_ref, *, mode: str, num_chunks: int
 ):
+    assert mode == "mul", "fused backward covers distmult only (transe rides gather1)"
     c = pl.program_id(0)
     slot = jax.lax.rem(c, 2)
     nxt = jax.lax.rem(c + 1, 2)
@@ -434,13 +434,11 @@ def _kernel_bwd_fused_vmem(
                 mark_ref[...] = total
                 xrow_ref[...] = x_ref[d]
 
+            # mode is always "mul" here (asserted in the template body):
+            # transe's d_input/d_relation ride the gather1 path instead
             gw = grow.astype(jnp.float32) * w
-            if mode == "mul":
-                dx_msg = rel_ref[r].astype(jnp.float32) * gw
-                dr_msg = xrow_ref[...].astype(jnp.float32) * gw
-            else:
-                dx_msg = gw
-                dr_msg = gw
+            dx_msg = rel_ref[r].astype(jnp.float32) * gw
+            dr_msg = xrow_ref[...].astype(jnp.float32) * gw
             accs[j] = accs[j] + dx_msg
             dr_ref[pl.ds(r, 1)] = dr_ref[pl.ds(r, 1)] + dr_msg[None]
             d_prev = d
@@ -474,8 +472,9 @@ def _kernel_bwd_fused(
     *, mode: str, num_chunks: int
 ):
     """meta rows: (0: dst index to gather from g, 1: etype, 2: src row_local).
-    mode 'mul': dx += w*rel[r]*g[dst]; dr[r] += w*x[src]*g[dst]
-    mode 'add' (transe): dx += w*g[dst]; dr[r] += w*g[dst]."""
+    mode 'mul' only: dx += w*rel[r]*g[dst]; dr[r] += w*x[src]*g[dst]
+    (transe's gradients ride the gather1 template + rel layout instead)."""
+    assert mode == "mul", "fused backward covers distmult only (transe rides gather1)"
     c = pl.program_id(0)
     slot = jax.lax.rem(c, 2)
     nxt = jax.lax.rem(c + 1, 2)
@@ -559,13 +558,11 @@ def _kernel_bwd_fused(
                 mark_ref[...] = total
                 xrow_ref[...] = x_ref[d]
 
+            # mode is always "mul" here (asserted in the template body):
+            # transe's d_input/d_relation ride the gather1 path instead
             gw = grow * w
-            if mode == "mul":
-                dx_msg = rel_ref[r] * gw
-                dr_msg = xrow_ref[...] * gw
-            else:  # transe
-                dx_msg = gw
-                dr_msg = gw
+            dx_msg = rel_ref[r] * gw
+            dr_msg = xrow_ref[...] * gw
             accs[j % NACC] = accs[j % NACC] + dx_msg
             dr_ref[pl.ds(r, 1)] = dr_ref[pl.ds(r, 1)] + dr_msg[None]
             d_prev = d
@@ -778,7 +775,7 @@ def _feature_tiles(F_pad: int, rel_rows: int, layout: CsrLayout) -> int:
     every extra feature pass re-pays the per-edge scalar/DMA overhead, so the
     budget is set high (v5e has 128 MB VMEM) to make F=4096 single-pass."""
     budget = 48 * 1024 * 1024 // 4  # f32 words
-    per_f = rel_rows + 2 * layout.tile_rows + 2 * NBUF + 8
+    per_f = rel_rows + 2 * layout.tile_rows + NGRP * GROUP + 8
     tf = max(_LANE, (budget // per_f) // _LANE * _LANE)
     return min(F_pad, tf)
 
@@ -945,7 +942,7 @@ def rspmm_bwd_fused(
 
     # feature tiling: rel + dr + double-buffered x/dx blocks + gather buffers
     budget = 48 * 1024 * 1024 // 4
-    per_f = 2 * r_pad + 4 * tv + NBUF + 8
+    per_f = 2 * r_pad + 4 * tv + NGRP * GROUP + 8
     tf = max(_LANE, (budget // per_f) // _LANE * _LANE)
     tf = min(F_pad, tf)
 
@@ -1077,7 +1074,7 @@ def rspmm_bwd_minmax(
         x_flat = jnp.pad(x_flat, ((0, layout.padded_rows - x_flat.shape[0]), (0, 0)))
 
     budget = 48 * 1024 * 1024 // 4
-    per_f = 2 * r_pad + 4 * tv + 2 * NBUF + 8
+    per_f = 2 * r_pad + 4 * tv + 2 * NGRP * GROUP + 8  # packed (g, x) buffer
     tf = min(F_pad, max(_LANE, (budget // per_f) // _LANE * _LANE))
 
     meta = _pack_meta(layout, layout.gather1, layout.aux)

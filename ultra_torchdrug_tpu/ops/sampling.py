@@ -23,8 +23,9 @@ def sample_from_mask(key, mask: jnp.ndarray, num_samples: int) -> jnp.ndarray:
       num_samples: draws per row
     Returns:
       int32 [B, num_samples] — indices into [0, V). Rows with an empty
-      candidate set return index 0 (cannot occur for the reference's use: a
-      positive triple always leaves >= 1 candidate... defensively clamped).
+      candidate set return index V-1, the defensive clamp's landing spot
+      (cannot occur for the reference's use: a positive triple always leaves
+      >= 1 candidate).
     """
     counts = mask.sum(axis=-1)  # [B]
     u = jax.random.uniform(key, (mask.shape[0], num_samples))

@@ -37,26 +37,37 @@ def variadic_shuffle(key, values: jnp.ndarray, sizes: jnp.ndarray):
     return values[order], sizes
 
 
+def _worst_value(dtype, largest: bool):
+    """The padding value for empty segments: worst possible under the order."""
+    if jnp.issubdtype(dtype, jnp.floating):
+        return jnp.array(-jnp.inf if largest else jnp.inf, dtype)
+    info = jnp.iinfo(dtype)
+    return jnp.array(info.min if largest else info.max, dtype)
+
+
 def variadic_topk(values: jnp.ndarray, sizes: jnp.ndarray, k: int, largest: bool = True):
     """Per-segment top-k, padded: segments shorter than k repeat their last
     valid entry (torchdrug variadic_topk semantics used by beam search at
     /root/reference/ultra/model.py:455).
 
     Returns (topk_values [S, k], topk_index [S, k]) where index is absolute
-    into `values`.
+    into `values`. Empty segments get sentinel rows: index -1 and the dtype's
+    worst value (-inf / iinfo.min when largest, +inf / iinfo.max otherwise) —
+    without the sentinel an empty segment's start offset equals the next
+    segment's and would silently return that segment's best entry.
     """
     n = values.shape[0]
-    num_seg = sizes.shape[0]
     seg = segment_ids_from_sizes(sizes, n)
     v = values if largest else -values
     order = jnp.lexsort((-v, seg))  # within segment: descending by v
     starts = jnp.cumsum(sizes) - sizes
-    pos = starts[:, None] + jnp.arange(k)[None, :]  # [S, k] global positions
     valid_rank = jnp.minimum(jnp.arange(k)[None, :], jnp.maximum(sizes[:, None] - 1, 0))
-    pos = starts[:, None] + valid_rank
-    pos = jnp.clip(pos, 0, n - 1)
+    pos = jnp.clip(starts[:, None] + valid_rank, 0, n - 1)
     idx = order[pos]
-    return values[idx], idx
+    empty = sizes[:, None] == 0
+    vals = jnp.where(empty, _worst_value(values.dtype, largest), values[idx])
+    idx = jnp.where(empty, -1, idx)
+    return vals, idx
 
 
 def variadic_topks(values: jnp.ndarray, sizes: jnp.ndarray, ks: jnp.ndarray,
@@ -67,12 +78,15 @@ def variadic_topks(values: jnp.ndarray, sizes: jnp.ndarray, ks: jnp.ndarray,
     min(ks[s], sizes[s]) entries followed by padding repeats of the last
     valid entry; `valid` marks the first ks[s] slots."""
     n = values.shape[0]
-    # static output width: callers pass concrete ks (host-side beam search);
-    # fall back to the total length when ks is traced
+    # static output width: the caller must pass concrete ks (host-side beam
+    # search does). A traced ks would force an [S, n] result — refuse loudly.
     try:
-        max_k = int(jnp.max(ks))
-    except Exception:
-        max_k = n
+        max_k = int(jnp.max(ks)) if ks.size else 0
+    except jax.errors.JAXTypeError as e:
+        raise ValueError(
+            "variadic_topks needs concrete (non-traced) ks to size its static "
+            "output; hoist ks out of jit or use variadic_topk with a fixed k"
+        ) from e
     seg = segment_ids_from_sizes(sizes, n)
     v = values if largest else -values
     order = jnp.lexsort((-v, seg))
@@ -80,8 +94,11 @@ def variadic_topks(values: jnp.ndarray, sizes: jnp.ndarray, ks: jnp.ndarray,
     rank = jnp.minimum(jnp.arange(max_k)[None, :], jnp.maximum(sizes[:, None] - 1, 0))
     pos = jnp.clip(starts[:, None] + rank, 0, n - 1)
     idx = order[pos]
-    valid = jnp.arange(max_k)[None, :] < ks[:, None]
-    return values[idx], idx, valid
+    empty = sizes[:, None] == 0
+    vals = jnp.where(empty, _worst_value(values.dtype, largest), values[idx])
+    idx = jnp.where(empty, -1, idx)
+    valid = (jnp.arange(max_k)[None, :] < ks[:, None]) & ~empty
+    return vals, idx, valid
 
 
 def variadic_unique(values: jnp.ndarray, sizes: jnp.ndarray):
@@ -105,9 +122,9 @@ def variadic_unique(values: jnp.ndarray, sizes: jnp.ndarray):
     within = dest_rank - starts_new[sseg]
     starts_old = jnp.cumsum(sizes) - sizes
     dest = starts_old[sseg] + within
-    # scatter only the firsts; duplicates of the same (segment, value) share a
-    # dest slot, but they scatter identical values so the race is benign
-    out = jnp.zeros_like(values).at[dest].set(sv * first.astype(sv.dtype))
+    # duplicates of the same (segment, value) share a dest slot; they scatter
+    # the IDENTICAL sorted value sv, so the scatter race is benign
+    out = jnp.zeros_like(values).at[dest].set(sv)
     keep = jnp.zeros((n,), bool).at[dest].max(first)
     return out, new_sizes, keep
 
