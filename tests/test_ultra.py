@@ -181,3 +181,64 @@ def test_remat_modes_identical_gradients(rng):
         for a, b in zip(gl, base_g):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6, err_msg=mode)
+
+
+def test_micro_batch_identical_scores_and_gradients(rng):
+    """micro_batch chunks the entity tower into a checkpointed lax.map;
+    forward scores and weight gradients must match the unchunked run."""
+    import dataclasses
+
+    g = tiny_kg(rng)
+    rg = build_relation_graph(g)
+    base = small_cfg(g.num_relations)
+    B, N = 8, 6
+    el = np.asarray(g.edge_list)
+    pos = el[rng.choice(len(el), B, replace=False)]
+    h, t, r = (jnp.asarray(pos[:, i]) for i in range(3))
+    neg = jnp.asarray(rng.integers(0, g.num_nodes, (B, N)).astype(np.int32))
+    params = ultra_init(jax.random.PRNGKey(0), base)
+
+    def loss(p, cfg):
+        return bce_self_adversarial(
+            ultra_train_scores(p, cfg, g, rg, h, t, r, neg)
+        )
+
+    results = {}
+    for mb in (0, 2, 4):
+        cfg = dataclasses.replace(
+            base, entity=dataclasses.replace(base.entity, micro_batch=mb)
+        )
+        l, grads = jax.value_and_grad(lambda p: loss(p, cfg))(params)
+        results[mb] = (float(l), jax.tree_util.tree_leaves(grads))
+    l0, g0 = results[0]
+    for mb in (2, 4):
+        l, gl = results[mb]
+        assert abs(l - l0) < 1e-6, mb
+        for a, b in zip(gl, g0):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6, err_msg=str(mb))
+
+
+def test_auto_micro_batch_sizing():
+    """auto_micro_batch halves the chunk until the per-layer carries fit half
+    the HBM budget; explicit settings and fitting batches are untouched."""
+    import dataclasses
+
+    from ultra_torchdrug_tpu.tasks.task import (
+        _MB_BUDGET_FRACTION, _hbm_bytes, auto_micro_batch,
+    )
+
+    cfg = small_cfg(5)  # 2 layers, D=8
+    budget = _MB_BUDGET_FRACTION * _hbm_bytes()
+    # tiny graph: fits, no change
+    assert auto_micro_batch(cfg, 1000, 64).entity.micro_batch == 0
+    # synthetic huge graph: 2 * V * 64 * 8 * 4 bytes > budget -> must chunk
+    huge_v = int(budget / (2 * 8 * 4 * 8)) + 1  # fits only at mb <= 8
+    out = auto_micro_batch(cfg, huge_v, 64)
+    mb = out.entity.micro_batch
+    assert 0 < mb <= 8 and 64 % mb == 0
+    # explicit micro_batch wins
+    explicit = dataclasses.replace(
+        cfg, entity=dataclasses.replace(cfg.entity, micro_batch=16)
+    )
+    assert auto_micro_batch(explicit, huge_v, 64).entity.micro_batch == 16

@@ -116,6 +116,7 @@ def build_model_config(cfg_task: dict, num_relations: int, rspmm_impl: str = "au
         remat=m.get("remat", cfg_task.get("remat", False)),
         compute_dtype=str(m.get("compute_dtype", "float32")),
         score_chunk=_resolve_score_chunk(cfg_task, m),
+        micro_batch=int(m.get("micro_batch", cfg_task.get("micro_batch", 0))),
     )
     rel_models_cfg = cfg_task.get("rel_models", {})
     rm = rel_models_cfg.get("rel_model", {})

@@ -21,7 +21,7 @@ import numpy as np
 from ..data.graph import Graph
 from ..nn.core import embedding_init, mlp_init
 from .layers import conv_apply, conv_init
-from .nbfnet import NBFNetConfig, _mlp_head_split
+from .nbfnet import NBFNetConfig, _flat_boundary, _mlp_head_split
 
 
 def classic_nbfnet_config(
@@ -76,8 +76,7 @@ def _bellmanford(
     B = source.shape[0]
     query = params["query"]["weight"][query_rel]  # [B, D]
     V = graph.num_nodes
-    boundary = jnp.zeros((V, B, cfg.input_dim), jnp.float32)
-    boundary = boundary.at[source, jnp.arange(B)].add(query)
+    boundary = _flat_boundary(V, B, cfg.input_dim, source, query)
 
     hiddens = []
     x = boundary
@@ -88,7 +87,10 @@ def _bellmanford(
             h = h + x
         hiddens.append(h)
         x = h
-    out = jnp.concatenate(hiddens, -1) if cfg.concat_hidden else hiddens[-1]
+    if cfg.concat_hidden:
+        out = jnp.concatenate([h.reshape(V, B, -1) for h in hiddens], -1)
+    else:
+        out = hiddens[-1].reshape(V, B, -1)
     return out, query
 
 

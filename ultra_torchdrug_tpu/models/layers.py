@@ -149,14 +149,26 @@ def ring_block_domain(cfg: ConvConfig, graph, edge_grad: bool = False):
         return None
     if cfg.message_func not in ("distmult", "transe"):
         return None
-    if cfg.aggregate_func not in ("sum", "sum_nobound"):
-        return None  # mean/pna/max consume degree/boundary in original order
+    if cfg.aggregate_func.replace("_nobound", "") not in (
+        "sum", "mean", "max", "pna"
+    ):
+        return None  # every statistic these need now rides the ring
     from ..parallel.mesh import current_mesh
 
     mesh = current_mesh()
     if mesh is None or cfg.edge_axis not in mesh.axis_names:
         return None
     return ri
+
+
+def _broadcast_rel_flat(relation, B):
+    """[R, D] or [R, B, D] -> flat [R, B*D] (b-major, matching x's flat
+    layout). Gradients flow back through the broadcast (summing the batch
+    axis for shared relations) automatically."""
+    if relation.ndim == 2:
+        R, D = relation.shape
+        return jnp.broadcast_to(relation[:, None, :], (R, B, D)).reshape(R, B * D)
+    return relation.reshape(relation.shape[0], -1)
 
 
 def conv_apply(
@@ -174,10 +186,11 @@ def conv_apply(
 
     Args:
       graph: data.Graph (already undirected+inverse where applicable)
-      x: [V, B, D] node states (the rspmm kernels flatten to their native
-         lane-aligned [V, B*D] internally; a model-level flat carry measured
-         as a regression — XLA already cancels the boundary reshapes)
-      boundary: [V, B, D] boundary condition (folded into aggregation)
+      x: node states — flat [V, B*D] (the native lane-aligned layout: a
+         [*, B, 64] array pads its 64-wide minor dim to 128 lanes, 2x the
+         bytes of the flat form) or [V, B, D] (legacy; reshaped at entry,
+         output comes back [V, B, Dout])
+      boundary: boundary condition, same layout as x (folded into aggregation)
       query: [B, Q] query vectors ("dependent" mode only)
       rel_injected: externally supplied relation reps ("injected" mode)
       edge_grad: route through the autodiff path so d(edge_weight) flows
@@ -187,9 +200,15 @@ def conv_apply(
         ring graph to take the ring route; without it the conv falls back to
         the replicated paths, since original-order states must never meet
         relabeled ring buckets
-    Returns: [V, B, output_dim]
+    Returns: flat [V, B*output_dim] (or [V, B, output_dim] for 3D input)
     """
     rel = _relation_input(params, cfg, query, rel_injected)
+    D = cfg.input_dim
+    flat_in = x.ndim == 2
+    V = x.shape[0]
+    B = (x.shape[1] // D) if flat_in else x.shape[1]
+    x = x if flat_in else x.reshape(V, B * D)
+    boundary = boundary if boundary.ndim == 2 else boundary.reshape(V, -1)
 
     def spmm(relation, xx, agg):
         out = _spmm_raw(relation, xx, agg)
@@ -198,9 +217,13 @@ def conv_apply(
         return checkpoint_name(out, "rspmm_out")
 
     def _spmm_raw(relation, xx, agg):
+        """xx: flat [Vrows, B*D]; returns flat [Vrows, B*D]."""
         if cfg.message_func == "rotate":
             assert agg in ("add", "max", "min", "sq_add")
-            return _rotate_messages_aggregate(graph, relation, xx, agg)
+            out = _rotate_messages_aggregate(
+                graph, relation, xx.reshape(xx.shape[0], B, D), agg
+            )
+            return out.reshape(out.shape[0], -1)
         msg = {"transe": "add", "distmult": "mul"}[cfg.message_func]
         if (graph.dense_adj is not None and agg == "add" and not edge_grad
                 and not cfg.edge_axis):
@@ -210,8 +233,10 @@ def conv_apply(
             # max/min (non-decomposable) fall through to the sparse kernels.
             from ..ops.dense import dense_rspmm
 
-            return dense_rspmm(graph.dense_adj, relation, xx, msg=msg)
-        if cfg.edge_axis and agg == "add" and not edge_grad:
+            return dense_rspmm(
+                graph.dense_adj, _broadcast_rel_flat(relation, B), xx, msg=msg
+            )
+        if cfg.edge_axis and agg in ("add", "max", "min") and not edge_grad:
             from ..parallel.mesh import current_mesh
             from ..parallel.sharded_rspmm import (
                 partitioned_rspmm_pallas,
@@ -226,53 +251,77 @@ def conv_apply(
                     # block-domain ownership) — ring's relabeled buckets
                     # must not see it; fall to the replicated paths
                     ri = None
+                xx3 = xx.reshape(xx.shape[0], B, D)
                 if cfg.rspmm_impl == "ring" and ri is not None:
                     from ..parallel.ring_rspmm import ring_rspmm
 
                     out = ring_rspmm(
-                        graph.edge_weight, graph.ring_inputs, relation, xx,
-                        msg=msg, mesh=mesh, axis=cfg.edge_axis,
+                        graph.edge_weight, graph.ring_inputs, relation, xx3,
+                        msg=msg, agg=agg, mesh=mesh, axis=cfg.edge_axis,
                         compute_dtype=cfg.compute_dtype,
                     )
+                elif agg != "add":
+                    # max/min are ring-only among the partitioned paths;
+                    # replicated-x impls fall to the single-chip kernels
+                    out = None
                 elif (cfg.rspmm_impl == "pallas"
                         and graph.part_layouts is not None):
                     out = partitioned_rspmm_pallas(
-                        graph.edge_weight, graph.part_layouts, relation, xx,
+                        graph.edge_weight, graph.part_layouts, relation, xx3,
                         msg=msg, mesh=mesh, axis=cfg.edge_axis,
                         compute_dtype=cfg.compute_dtype,
                     )
                 else:
                     out = sharded_rspmm(
                         graph.edge_index, graph.edge_type, graph.edge_weight,
-                        relation, xx, msg=msg, num_nodes=graph.num_nodes,
+                        relation, xx3, msg=msg, num_nodes=graph.num_nodes,
                         mesh=mesh, axis=cfg.edge_axis,
                     )
-                return out
+                if out is not None:
+                    return out.reshape(out.shape[0], -1)
         # "ring" is a mesh-only impl; off-mesh (or for the paths the ring
         # doesn't cover) fall back to the best single-chip kernel available
         impl = cfg.rspmm_impl
         if impl == "ring":
             impl = "pallas" if graph.layouts is not None else "xla"
-        return generalized_rspmm(
-            graph.edge_index,
-            graph.edge_type,
-            graph.edge_weight,
-            relation,
-            xx,
-            msg=msg,
-            agg=agg,
-            num_nodes=graph.num_nodes,
-            impl=impl,
-            layouts=graph.layouts,
-            edge_grad=edge_grad,
+        if impl == "pallas" and graph.layouts is not None and not edge_grad:
+            # pallas runs natively on the flat layout (ops/rspmm_pallas.py);
+            # relation pre-broadcast to [R, B*D]
+            return generalized_rspmm(
+                graph.edge_index, graph.edge_type, graph.edge_weight,
+                _broadcast_rel_flat(relation, B), xx,
+                msg=msg, agg=agg, num_nodes=graph.num_nodes, impl=impl,
+                layouts=graph.layouts, edge_grad=edge_grad,
+                compute_dtype=cfg.compute_dtype,
+            )
+        # xla segment-op path: keep the [R, D] relation (cheaper [E, D]
+        # gathers than a pre-broadcast [E, B*D] one) and a 3D state view
+        out = generalized_rspmm(
+            graph.edge_index, graph.edge_type, graph.edge_weight,
+            relation, xx.reshape(V, B, D),
+            msg=msg, agg=agg, num_nodes=graph.num_nodes, impl="xla",
+            layouts=None, edge_grad=edge_grad,
             compute_dtype=cfg.compute_dtype,
         )
+        return out.reshape(V, -1)
 
     agg = cfg.aggregate_func
     base = agg.replace("_nobound", "")
     bounded = not agg.endswith("_nobound")
     degree = graph.degree_out() + 1.0
-    degree = degree[:, None, None]
+    if block_domain:
+        # states live in the ring's padded block domain: pad the degree to
+        # v_pad rows and relabel when degree-balanced (pad rows get degree 1
+        # -> log-scale 0, and they are edge-free so their values never reach
+        # real rows)
+        ri = graph.ring_inputs
+        v_pad = ri.v_block * ri.n_shards
+        degree = jnp.concatenate(
+            [degree, jnp.ones((v_pad - degree.shape[0],), degree.dtype)], 0
+        )
+        if ri.to_old is not None:
+            degree = degree[ri.to_old]
+    degree = degree[:, None]  # [V, 1] — broadcasts over the flat feature dim
 
     if base == "sum":
         update = spmm(rel, x, "add")
@@ -305,17 +354,22 @@ def conv_apply(
             mean = s / degree
             sq_mean = sq / degree
         std = jnp.sqrt(jnp.clip(sq_mean - mean**2, EPS, None))
-        features = jnp.stack([mean, mx, mn, std], axis=-1)  # [V,B,D,4]
-        features = features.reshape(*features.shape[:-2], -1)  # [V,B,4D]
-        scale = jnp.log(degree)
-        scale = scale / scale.mean()
+        # flat layout keeps the reference element order: stacking the four
+        # statistics last then flattening yields per-(b, d) interleaved
+        # [mean, max, min, std] — identical to reshape([V, B, 4D]) flattened
+        features = jnp.stack([mean, mx, mn, std], axis=-1)  # [V, B*D, 4]
+        features = features.reshape(V, -1)  # [V, B*4D]
+        scale = jnp.log(degree)  # [V, 1]
+        # normalize by the mean over REAL nodes: block-domain pad rows carry
+        # log(1)=0 and must not dilute it (no-op off the ring path)
+        scale = scale / (scale.sum() / graph.num_nodes)
         inv = 1.0 / jnp.clip(scale, 1e-2, None)
         scales = jnp.concatenate(
             [jnp.ones_like(scale), scale, inv], axis=-1
-        )  # [V,1,3]
-        update = (features[..., None] * scales[:, :, None, :]).reshape(
-            *features.shape[:-1], -1
-        )  # [V,B,12D]
+        )  # [V, 3]
+        update = (features[:, :, None] * scales[:, None, :]).reshape(
+            V, -1
+        )  # [V, B*12D]
     else:
         raise ValueError(f"unknown aggregate function {agg!r}")
 
@@ -323,12 +377,16 @@ def conv_apply(
     # math (W rows ordered x-part then update-part, matching the reference's
     # cat order at layer.py:180-186), but the [V, B, 2D] concat is never
     # materialized (measured -1.2 ms/layer at FB scale;
-    # script/diagnostics/layout_micro.py)
+    # script/diagnostics/layout_micro.py). The matmul contracts over the
+    # per-b D slice, so the operands pass through a transient [V, B, *] view;
+    # only this fusion zone touches the lane-padded layout — all stored
+    # tensors (carries, boundary, rspmm outputs) stay flat.
     w = params["linear"]["w"]
-    din = x.shape[-1]
     out = (
-        jnp.dot(x, w[:din], precision=jax.lax.Precision.HIGHEST)
-        + jnp.dot(update, w[din:], precision=jax.lax.Precision.HIGHEST)
+        jnp.dot(x.reshape(V, B, D), w[:D],
+                precision=jax.lax.Precision.HIGHEST)
+        + jnp.dot(update.reshape(V, B, -1), w[D:],
+                  precision=jax.lax.Precision.HIGHEST)
         + params["linear"]["b"]
     )
     if cfg.layer_norm:
@@ -337,4 +395,4 @@ def conv_apply(
         out = jax.nn.relu(out)
     elif cfg.activation and cfg.activation != "none":
         out = getattr(jax.nn, cfg.activation)(out)
-    return out
+    return out.reshape(V, -1) if flat_in else out

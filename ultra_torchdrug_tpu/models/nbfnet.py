@@ -13,9 +13,12 @@ Two towers, mirroring the reference's architecture:
     boundary = query vector scattered at the source entity, 6 conv layers in
     "injected+project" mode, final [state ; query] -> MLP -> scalar score.
 
-TPU design notes: propagation state is [V, B, D] with static shapes; scoring
-computes all-entity scores in one fused pass (the reference loops over
-candidate chunks and memoizes propagation with @utils.cached — here the
+TPU design notes: propagation state is carried FLAT [V, B*D] with static
+shapes — a [V, B, 64] f32 array pads its minor dim to 128 lanes (T(8,128)
+tiling), doubling every carry/remat/boundary buffer; the flat layout is
+exactly lane-sized and is the rspmm kernels' native input. Scoring computes
+all-entity scores in one fused pass (the reference loops over candidate
+chunks and memoizes propagation with @utils.cached — here the
 propagation/scoring split makes that explicit and chunk-free).
 """
 
@@ -68,6 +71,15 @@ class NBFNetConfig:
     # propagate-once-score-all design). Large-graph escape hatch
     # (ATOMIC/ConceptNet-scale V); no effect on results.
     score_chunk: int = 0
+    # batch microbatching of the whole entity tower: M > 0 runs score_all as
+    # a sequential lax.map over checkpointed M-element batch chunks, so peak
+    # HBM is ONE chunk's propagation working set (carries are [V, M*D]) and
+    # the backward recomputes chunk by chunk. Gradients are mathematically
+    # identical (per-row losses). This is how ATOMIC-scale (V=304k) training
+    # at batch 64 fits a 16 GB chip: 6 saved [V, 64*64] f32 carries alone are
+    # 30 GB. The reference's analog is CPU offload + candidate chunking
+    # (task.py:262-263); sequential in-jit microbatching is the TPU answer.
+    micro_batch: int = 0
 
     def layer_configs(self):
         dims = [self.input_dim] + list(self.hidden_dims)
@@ -126,32 +138,32 @@ def _propagate(
     block_domain: bool = False,
 ):
     """Run the conv stack from the boundary condition; returns the final
-    hidden state (or concat of all hiddens if concat_hidden)."""
+    hidden state (or concat of all hiddens if concat_hidden).
+
+    Everything is FLAT [V, B*D]: boundary comes in flat, every carry, remat
+    save, and rspmm in/out stays flat, and the result goes back flat. A
+    [*, B, 64] tensor pads its 64-wide minor dim to 128 lanes on TPU (2x the
+    bytes, the round-2 ATOMIC OOM); the flat layout is exactly lane-sized."""
+    B = boundary.shape[1] // cfg.input_dim
     if _scannable(layer_params, layer_cfgs, cfg):
         stacked = jax.tree_util.tree_map(
             lambda *leaves: jnp.stack(leaves), *layer_params
         )
         lcfg = layer_cfgs[0]
-        shape3 = boundary.shape  # [V, B, D]
 
-        # the scan carry is saved per step for the backward pass; carry it
-        # FLAT [V, B*D] so the stored stack is lane-aligned — a [*, B, 64]
-        # carry would pad its 64-wide minor dim to 128 lanes (2x memory)
         def body(x_flat, p):
             h = conv_apply(
-                p, lcfg, graph, x_flat.reshape(shape3), boundary,
+                p, lcfg, graph, x_flat, boundary,
                 query=query, rel_injected=rel_injected, edge_grad=edge_grad,
                 block_domain=block_domain,
             )
-            if cfg.short_cut and h.shape == shape3:
-                h = h + x_flat.reshape(shape3)
-            return h.reshape(shape3[0], -1), None
+            if cfg.short_cut and h.shape == x_flat.shape:
+                h = h + x_flat
+            return h, None
 
         body = _maybe_remat(body, cfg.remat)
-        out, _ = jax.lax.scan(
-            body, boundary.reshape(shape3[0], -1), stacked
-        )
-        return out.reshape(shape3[0], shape3[1], -1)
+        out, _ = jax.lax.scan(body, boundary, stacked)
+        return out
     hiddens = []
     x = boundary
 
@@ -172,7 +184,12 @@ def _propagate(
         hiddens.append(h)
         x = h
     if cfg.concat_hidden:
-        return jnp.concatenate(hiddens, axis=-1)
+        # flat concat must interleave per batch element: concat the [V, B, *]
+        # views, then flatten back
+        V = boundary.shape[0]
+        return jnp.concatenate(
+            [h.reshape(V, B, -1) for h in hiddens], axis=-1
+        ).reshape(V, -1)
     return hiddens[-1]
 
 
@@ -232,10 +249,9 @@ def rel_nbfnet_apply(params, cfg: NBFNetConfig, rel_graph, query_rels) -> jnp.nd
         query = jnp.broadcast_to(params["learnable_q"]["weight"], (B, D))
     else:
         query = jnp.ones((B, D), jnp.float32)
-    boundary = jnp.zeros((V, B, D), jnp.float32)
-    boundary = boundary.at[query_rels, jnp.arange(B)].add(query)
+    boundary = _flat_boundary(V, B, D, query_rels, query)
     out = _propagate(params["layers"], cfg.layer_configs(), rel_graph, boundary, cfg)
-    return out.transpose(1, 0, 2)  # [B, V(=2R), D]
+    return out.reshape(V, B, -1).transpose(1, 0, 2)  # [B, V(=2R), D]
 
 
 def rel_nbfnet_apply_shared(params, cfg: NBFNetConfig, rel_graph, query_rels) -> jnp.ndarray:
@@ -245,10 +261,19 @@ def rel_nbfnet_apply_shared(params, cfg: NBFNetConfig, rel_graph, query_rels) ->
     r in query_rels (set, not add — rel_model.py:276)."""
     D = cfg.input_dim
     V = rel_graph.num_nodes
-    boundary = jnp.zeros((V, 1, D), jnp.float32)
-    boundary = boundary.at[query_rels, 0].set(1.0)
+    boundary = jnp.zeros((V, D), jnp.float32)  # flat [V, 1*D]
+    boundary = boundary.at[query_rels].set(1.0)
     out = _propagate(params["layers"], cfg.layer_configs(), rel_graph, boundary, cfg)
-    return out[:, 0, :]  # [V(=2R), D]
+    return out  # [V(=2R), D]
+
+
+def _flat_boundary(V, B, D, rows, query):
+    """Flat [V, B*D] boundary with query[b] scattered at (rows[b], b). Built
+    through a [V*B, D] scatter whose row-major order equals the flat layout,
+    so no [V, B, D] lane-padded buffer is ever stored."""
+    flat = jnp.zeros((V * B, D), jnp.float32)
+    flat = flat.at[rows * B + jnp.arange(B)].add(query)
+    return flat.reshape(V, B * D)
 
 
 # ---------------------------------------------------------------------------
@@ -282,6 +307,7 @@ def entity_nbfnet_config(
         remat=kw.get("remat", False),
         compute_dtype=kw.get("compute_dtype", "float32"),
         score_chunk=int(kw.get("score_chunk", 0)),
+        micro_batch=int(kw.get("micro_batch", 0)),
     )
 
 
@@ -322,6 +348,43 @@ def entity_nbfnet_score_all(
     Returns: [B, V] scores (model.py:176-194 with all-entity targets).
     """
     B = source.shape[0]
+    mb = cfg.micro_batch
+    if mb and B > mb and not edge_grad:
+        assert B % mb == 0, f"batch {B} not divisible by micro_batch {mb}"
+        n = B // mb
+        sub_cfg = dataclasses.replace(cfg, micro_batch=0)
+
+        def chunk(t):
+            return t.reshape(n, mb, *t.shape[1:])
+
+        # per-batch tensors ride the map's xs; shared [2R, D] tensors stay
+        # closed over (still differentiated through the checkpoint)
+        if isinstance(rel_queries, (list, tuple)):
+            rq_xs = [chunk(r) if r.ndim == 3 else None for r in rel_queries]
+        else:
+            rq_xs = chunk(rel_queries) if rel_queries.ndim == 3 else None
+        xs = (
+            chunk(source), chunk(query_rel),
+            [r for r in rq_xs if r is not None]
+            if isinstance(rq_xs, list) else rq_xs,
+        )
+
+        def score_one(args):
+            src_c, qr_c, rel_c = args
+            if isinstance(rel_queries, (list, tuple)):
+                it = iter(rel_c)
+                rq = [next(it) if x is not None else orig
+                      for x, orig in zip(rq_xs, rel_queries)]
+            else:
+                rq = rel_queries if rel_c is None else rel_c
+            return entity_nbfnet_score_all(
+                params, sub_cfg, graph, rq, src_c, qr_c
+            )
+
+        # checkpointed: the backward re-runs one chunk's propagation at a
+        # time — peak HBM is a single [V, mb*D]-carry working set
+        out = jax.lax.map(jax.checkpoint(score_one), xs)  # [n, mb, V]
+        return out.reshape(B, -1)
     if isinstance(rel_queries, (list, tuple)):
         query_src = rel_queries[0]
         if len(rel_queries) == 1:
@@ -348,8 +411,7 @@ def entity_nbfnet_score_all(
         rows = source if ring.to_new is None else ring.to_new[source]
     else:
         Vrows, rows = V, source
-    boundary = jnp.zeros((Vrows, B, cfg.input_dim), jnp.float32)
-    boundary = boundary.at[rows, jnp.arange(B)].add(query)
+    boundary = _flat_boundary(Vrows, B, cfg.input_dim, rows, query)
     if all(r is per_layer[0] for r in per_layer[1:]):
         # single injected tensor: scannable stack (one compiled layer body)
         final = _propagate(
@@ -369,7 +431,12 @@ def entity_nbfnet_score_all(
                 h = h + x
             hiddens.append(h)
             x = h
-        final = jnp.concatenate(hiddens, -1) if cfg.concat_hidden else hiddens[-1]
+        if cfg.concat_hidden:
+            final = jnp.concatenate(
+                [h.reshape(Vrows, B, -1) for h in hiddens], -1
+            ).reshape(Vrows, -1)
+        else:
+            final = hiddens[-1]
     scores = _score_tail(params, cfg, final, query, Vrows, B)  # [B, Vrows]
     if ring is not None:
         # back to original entity order: gather score COLUMNS ([B, V] floats
@@ -399,10 +466,15 @@ def _mlp_head_split(mlp_params, final, query):
 
 def _score_tail(params, cfg: NBFNetConfig, final, query, V, B):
     """cat(final, query) -> MLP -> [B, V]; optionally chunked over entities
-    so only [score_chunk, B, *] intermediates are live at once."""
+    so only [score_chunk, B, *] intermediates are live at once.
+
+    ``final`` is flat [V, B*feat]; each chunk is viewed [C, B, feat] only
+    inside its own matmul zone."""
     C = cfg.score_chunk
     if not C or V <= C:
-        score = _mlp_head_split(params["mlp"], final, query)[..., 0]  # [V, B]
+        score = _mlp_head_split(
+            params["mlp"], final.reshape(V, B, -1), query
+        )[..., 0]  # [V, B]
         return score.T  # [B, V]
     n = -(-V // C)
     pad = n * C - V
@@ -410,7 +482,7 @@ def _score_tail(params, cfg: NBFNetConfig, final, query, V, B):
         final = jnp.concatenate(
             [final, jnp.zeros((pad,) + final.shape[1:], final.dtype)], 0
         )
-    chunks = final.reshape(n, C, B, final.shape[-1])
+    chunks = final.reshape(n, C, B, -1)
 
     def score_one(chunk):
         return _mlp_head_split(params["mlp"], chunk, query)[..., 0]  # [C, B]

@@ -35,13 +35,27 @@ def dense_rspmm(A, relation, x, *, msg: str):
 
     Args:
       A: [T, N, N] float32, A[t, d, s] = summed edge weight of (s -> d, t).
-      relation: [T, D] (shared across batch) or [T, B, D].
-      x: [N, B, D] node states.
+      relation: [T, D] (shared across batch) or [T, B, D]; in flat mode,
+        [T, F] pre-broadcast by the caller.
+      x: [N, B, D] node states, or flat [N, F] (F = B*D) — the lane-aligned
+        layout flat-carrying models use; output then comes back flat too.
       msg: "mul" (distmult) | "add" (transe).
-    Returns: [N, B, D] — Σ_e w_e · (rel[τ_e] ∘ x[s_e]) grouped by destination,
-      matching ops.rspmm.generalized_rspmm(msg, agg="add") up to fp32
-      summation order.
+    Returns: [N, B, D] (or [N, F]) — Σ_e w_e · (rel[τ_e] ∘ x[s_e]) grouped by
+      destination, matching ops.rspmm.generalized_rspmm(msg, agg="add") up to
+      fp32 summation order.
     """
+    if x.ndim == 2:  # flat [N, F] with relation [T, F]
+        N, F = x.shape
+        # [T, N, F]: one MXU matmul per edge type
+        hp = jnp.einsum("tds,sf->tdf", A, x, precision=_HI)
+        if msg == "mul":
+            return (hp * relation[:, None, :]).sum(axis=0)
+        if msg == "add":
+            deg = A.sum(axis=2)  # [T, N]
+            return hp.sum(axis=0) + jnp.einsum(
+                "tn,tf->nf", deg, relation, precision=_HI
+            )
+        raise ValueError(f"unsupported message function {msg!r}")
     T, N, _ = A.shape
     _, B, D = x.shape
     xf = x.reshape(N, B * D)

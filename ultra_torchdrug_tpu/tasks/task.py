@@ -86,6 +86,56 @@ def _degree_weights(train: np.ndarray, num_entities: int, num_relations: int):
     return deg_hr, deg_tr
 
 
+def _hbm_bytes() -> int:
+    """Per-device HBM budget. Remote-tunnel backends expose no memory_stats;
+    fall back to the v5e's 16 GB."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        if limit:
+            return int(limit)
+    except Exception:
+        pass
+    return 16 << 30
+
+
+# fraction of HBM the saved carry stack may use: the backward's true peak is
+# ~2.2x the stack (2-3 live carry copies, remat-compressed duplicates, and
+# ~35% allocator fragmentation measured on the ATOMIC-scale dump,
+# script/diagnostics/train_memory.py)
+_MB_BUDGET_FRACTION = 0.25
+
+
+def auto_micro_batch(model_cfg: UltraConfig, num_nodes: int, batch: int) -> UltraConfig:
+    """Pick entity-tower microbatching so the propagation carries fit HBM.
+
+    Full remat still saves one flat [V, B*D] f32 carry per layer (the scan
+    stack); when those alone exceed _MB_BUDGET_FRACTION of the device budget,
+    halve the microbatch until they fit — the tower then runs as a sequential
+    checkpointed lax.map over batch chunks (models/nbfnet.py micro_batch),
+    gradients unchanged. Explicit micro_batch config wins."""
+    ent = model_cfg.entity
+    if ent.micro_batch or batch <= 1:
+        return model_cfg
+    L = len(ent.hidden_dims)
+    D = ent.input_dim
+    budget = _MB_BUDGET_FRACTION * _hbm_bytes()
+
+    def carry_bytes(b):
+        return L * num_nodes * b * D * 4
+
+    if carry_bytes(batch) <= budget:
+        return model_cfg
+    mb = batch
+    while mb > 1 and carry_bytes(mb) > budget and batch % (mb // 2) == 0:
+        mb //= 2
+    if mb == batch:
+        return model_cfg  # indivisible batch: nothing we can do
+    return dataclasses.replace(
+        model_cfg, entity=dataclasses.replace(ent, micro_batch=mb)
+    )
+
+
 class _TaskBase:
     """Shared machinery: loss step + all-entity eval step builders."""
 
@@ -100,9 +150,13 @@ class _TaskBase:
         # scoring, max/min aggregations) fall back to the Pallas kernels
         return self.model_cfg.entity.rspmm_impl in ("pallas", "ring")
 
-    # V above which save_rspmm's extra per-layer [V, B, D] residuals no longer
-    # fit 16 GB HBM at batch 64 (WN18RR-scale graphs OOM; FB-scale is fine)
-    _SAVE_RSPMM_MAX_NODES = 25000
+    # V above which save_rspmm's extra per-layer [V, B*D] residuals no longer
+    # fit HBM at batch 64 (WN18RR-scale graphs OOMed a 16 GB chip in round 1;
+    # FB-scale is fine). Scaled by the actual device budget instead of
+    # hard-coding one chip's size.
+    @property
+    def _SAVE_RSPMM_MAX_NODES(self) -> int:
+        return int(25000 * (_hbm_bytes() / (16 << 30)))
 
     def _resolve_model_cfg(self, fact_graph: Graph) -> UltraConfig:
         """remat="auto": pick the cheapest policy that fits — save_rspmm for
@@ -195,6 +249,10 @@ class _TaskBase:
         fact_und, rel_graph = self._prepare_graphs(fact_graph, rel_graph)
 
         def loss_fn(params, key, batch, sample_weight=None):
+            # batch size is static at trace time: size the entity-tower
+            # microbatching to the device budget here
+            mcfg = auto_micro_batch(model_cfg, fact_graph.num_nodes,
+                                    int(batch.shape[0]))
             h, t, r = batch[:, 0], batch[:, 1], batch[:, 2]
             if cfg.strict_negative:
                 neg = strict_negatives(
@@ -206,7 +264,7 @@ class _TaskBase:
                 )
             scores = self._train_scores(
                 params, fact_graph, rel_graph, h, t, r, neg, fact_und,
-                model_cfg=model_cfg,
+                model_cfg=mcfg,
             )
             loss = _criterion_loss(cfg, scores, sample_weight)
             metrics = {
