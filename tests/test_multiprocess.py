@@ -18,6 +18,9 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "mp_worker.py")
+TRAIN_WORKER = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "mp_worker_train.py"
+)
 
 
 def _free_port():
@@ -26,8 +29,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.mark.parametrize("nprocs", [2])
-def test_two_process_eval_gather(nprocs):
+def _run_workers(worker, nprocs, extra_args=(), timeout=300, marker="MP_OK"):
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "PALLAS_AXON_POOL_IPS")}
@@ -35,7 +37,8 @@ def test_two_process_eval_gather(nprocs):
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(p), str(nprocs), str(port)],
+            [sys.executable, worker, str(p), str(nprocs), str(port),
+             *map(str, extra_args)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
@@ -44,7 +47,7 @@ def test_two_process_eval_gather(nprocs):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=120)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -52,4 +55,23 @@ def test_two_process_eval_gather(nprocs):
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
-        assert f"MP_OK {i}" in out, f"proc {i} missing OK marker:\n{out}"
+        assert f"{marker} {i}" in out, f"proc {i} missing OK marker:\n{out}"
+
+
+@pytest.mark.parametrize("nprocs", [2])
+def test_two_process_eval_gather(nprocs):
+    _run_workers(WORKER, nprocs, timeout=120, marker="MP_OK")
+
+
+def test_two_process_train_step_matches_single():
+    """Full jitted train step (loss+grad+update) across 2 OS processes over
+    gloo, batch sharded per process; params after N steps must match the
+    single-process run (DDP semantics, reference engine.py:55-90)."""
+    _run_workers(TRAIN_WORKER, 2, extra_args=(1,), marker="MP_TRAIN_OK")
+
+
+def test_two_process_four_device_composed_mesh_train():
+    """2 processes x 4 local devices: "data" axis spans processes (gradient
+    psum over gloo), "edge" axis partitions the rspmm within each process —
+    the mesh layout a real multi-host slice would run."""
+    _run_workers(TRAIN_WORKER, 2, extra_args=(4,), marker="MP_TRAIN_OK")
