@@ -802,3 +802,146 @@ def test_eval_data_parallel_matches_single(tmp_path, rng):
     m_dp = run(make_mesh(data=8, edge=1))
     for k in ("mrr", "mr", "hits@10"):
         assert abs(m_single[k] - m_dp[k]) < 1e-6, k
+
+
+@pytest.mark.parametrize("agg", ["max", "min"])
+@pytest.mark.parametrize("msg", ["mul", "add"])
+def test_ring_rspmm_minmax_matches_oracle(rng, msg, agg):
+    """Ring max/min: per-bucket extrema combined across steps + argext
+    backward match the single-chip semantics (ties have measure zero on
+    random continuous inputs)."""
+    from ultra_torchdrug_tpu.parallel.ring_rspmm import (
+        build_ring_rspmm_inputs, ring_rspmm,
+    )
+
+    mesh = make_mesh(data=1, edge=8)
+    # dedupe: duplicate (h, t, r) edges are EXACT ties, where the ring (like
+    # the single-chip pallas kernels) grants gradient to every tied edge but
+    # XLA's segment_max VJP picks one — the documented convention delta
+    V, E, R = 43, 160, 5
+    tri = np.unique(np.stack(
+        [rng.integers(0, V, E), rng.integers(0, V, E), rng.integers(0, R, E)],
+        axis=1), axis=0).astype(np.int32)
+    g = Graph.from_triplets(tri, V, R)
+    B, D = 3, 6
+    rel = jnp.asarray(rng.normal(size=(g.num_relations, D)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(g.num_nodes, B, D)).astype(np.float32))
+    inputs = build_ring_rspmm_inputs(g.edge_index, g.edge_type, g.num_nodes, 8)
+    probe = jnp.asarray(rng.normal(size=(g.num_nodes, B, D)).astype(np.float32))
+
+    want = generalized_rspmm(
+        g.edge_index, g.edge_type, g.edge_weight, rel, x,
+        msg=msg, agg=agg, num_nodes=g.num_nodes,
+    )
+    got = jax.jit(
+        lambda w, r, xx: ring_rspmm(w, inputs, r, xx, msg=msg, agg=agg,
+                                    mesh=mesh)
+    )(g.edge_weight, rel, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_ref(rel, x):
+        out = generalized_rspmm(
+            g.edge_index, g.edge_type, g.edge_weight, rel, x,
+            msg=msg, agg=agg, num_nodes=g.num_nodes,
+        )
+        return jnp.sum(out * probe)
+
+    def loss_ring(rel, x):
+        out = ring_rspmm(g.edge_weight, inputs, rel, x, msg=msg, agg=agg,
+                         mesh=mesh)
+        return jnp.sum(out * probe)
+
+    want_g = jax.grad(loss_ref, argnums=(0, 1))(rel, x)
+    got_g = jax.jit(jax.grad(loss_ring, argnums=(0, 1)))(rel, x)
+    for w, g_ in zip(want_g, got_g):
+        np.testing.assert_allclose(np.asarray(g_), np.asarray(w),
+                                   rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("aggf", ["max", "pna", "mean"])
+def test_ultra_train_step_ring_agg_variants(rng, aggf):
+    """VERDICT r2 #7: max/pna/mean entity towers under the permuted-IO
+    balanced ring (block-domain degree side inputs + ring extrema) — scores
+    and grads match the unsharded single-chip model. For max/pna the
+    single-chip oracle is the PALLAS path: zero-valued messages from
+    not-yet-reached rows tie EXACTLY at the extremum, where ring and pallas
+    follow the reference CUDA convention (gradient to every tied edge) while
+    XLA's segment extrema VJP picks one."""
+    mesh = make_mesh(data=1, edge=4)
+    g = hub_graph(rng, V=30, E=120, R=3, hubs=6)
+    # dedupe: duplicate edges are exact ties where the ring argext backward
+    # (all tied edges) and XLA's segment extrema VJP (one edge) diverge by
+    # convention — max/pna grads would differ through no fault of the ring
+    tri = np.unique(np.asarray(g.edge_list)[: g.num_edges // 2], axis=0)
+    g = Graph.from_triplets(tri, g.num_nodes, g.num_relations)
+    rg = build_relation_graph(g)
+
+    def cfgs(axis, impl):
+        return UltraConfig(
+            entity=entity_nbfnet_config(
+                input_dim=8, hidden_dims=(8, 8),
+                num_relations=g.num_relations * 2,
+                aggregate_func=aggf, edge_axis=axis, rspmm_impl=impl,
+            ),
+            relation=rel_nbfnet_config(
+                input_dim=8, hidden=8, num_layers=2, edge_axis=axis,
+                rspmm_impl=impl,
+            ),
+        )
+
+    params = ultra_init(jax.random.PRNGKey(0), cfgs("", "xla"))
+    B, N = 3, 5
+    el = np.asarray(g.edge_list)
+    pos = el[rng.choice(len(el), B, replace=False)]
+    h, t, r = (jnp.asarray(pos[:, i]) for i in range(3))
+    neg = jnp.asarray(rng.integers(0, g.num_nodes, (B, N)).astype(np.int32))
+
+    g_und = g.undirected_with_inverse().prepare_ring(
+        4, balance=True, permuted_io=True
+    )
+    rg_ring = rg.prepare_ring(4)
+
+    from ultra_torchdrug_tpu.models.layers import ring_block_domain
+
+    lcfg = cfgs("edge", "ring").entity.layer_configs()[0]
+    with use_mesh(mesh):
+        assert ring_block_domain(lcfg, g_und) is not None, (
+            f"{aggf} should ride the block-domain ring now"
+        )
+
+    if aggf == "mean":
+        plain_impl, plain_und = "xla", None
+    else:  # tie convention: pallas is the matching single-chip oracle
+        plain_impl = "pallas"
+        plain_und = g.undirected_with_inverse().prepare_pallas()
+
+    plain = ultra_train_scores(
+        params, cfgs("", plain_impl), g, rg, h, t, r, neg,
+        fact_graph_und=plain_und,
+    )
+
+    def loss_ring(p):
+        s = ultra_train_scores(
+            p, cfgs("edge", "ring"), g, rg_ring, h, t, r, neg,
+            fact_graph_und=g_und,
+        )
+        return bce_self_adversarial(s), s
+
+    with use_mesh(mesh):
+        (_, ringed), grads_r = jax.jit(
+            jax.value_and_grad(loss_ring, has_aux=True))(params)
+    np.testing.assert_allclose(np.asarray(ringed), np.asarray(plain),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss_plain(p):
+        return bce_self_adversarial(
+            ultra_train_scores(p, cfgs("", plain_impl), g, rg, h, t, r, neg,
+                               fact_graph_und=plain_und)
+        )
+
+    grads_p = jax.grad(loss_plain)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(grads_p),
+                    jax.tree_util.tree_leaves(grads_r)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4)

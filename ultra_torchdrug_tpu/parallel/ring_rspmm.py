@@ -26,9 +26,17 @@ row-sharded; d_relation partials ride the same steps (the chip's own x block
 is exactly what the SDDMM needs) and end in one [R, ...] psum — the only
 non-ring collective, ~V/R smaller than any node-state tensor.
 
-agg='add' (the configuration every shipped ULTRA config trains with); weights
-stay one replicated [E] vector re-gathered by global edge_id, so per-batch
-easy-edge masks need no sharded bookkeeping (CLAUDE.md layout invariant).
+agg='add' (the configuration every shipped ULTRA config trains with) runs the
+pipelined schedule above; agg='max'/'min' run the same ring with per-bucket
+segment extrema combined associatively across steps (max of maxes), and an
+argext backward on the transposed ring — the upstream gradient AND the saved
+forward extremum rotate together, each chip testing its own x block's edges
+for recompute-equality (the single-chip kernels' tied-edge convention,
+ops/rspmm.py:_make_rspmm_minmax). That closes the PNA/max aggregation gap: a
+pna conv under `ring` now routes all four statistics through ring schedules.
+Weights stay one replicated [E] vector re-gathered by global edge_id, so
+per-batch easy-edge masks need no sharded bookkeeping (CLAUDE.md layout
+invariant).
 """
 
 from __future__ import annotations
@@ -392,6 +400,170 @@ def _make_ring_rspmm(
     return rspmm
 
 
+_BIG = 1e30
+
+
+@lru_cache(maxsize=None)
+def _make_ring_rspmm_minmax(
+    msg: str, agg: str, num_nodes: int, v_block: int, n_shards: int,
+    mesh: Mesh, axis: str,
+):
+    """Ring rspmm for AGG in {max, min}: forward combines per-bucket segment
+    extrema across ring steps; backward rotates (g, out) through the
+    transposed ring and flows gradient to every recompute-equal edge."""
+    espec = P(axis)
+    rep = P()
+    n = n_shards
+    vb = v_block
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    is_max = agg == "max"
+    seg = jax.ops.segment_max if is_max else jax.ops.segment_min
+    combine = jnp.maximum if is_max else jnp.minimum
+    neutral = -_BIG if is_max else _BIG
+
+    def _wshape(w, like):
+        return w.reshape((-1,) + (1,) * (like.ndim - 1))
+
+    def fwd_body(edge_weight, fwd_bk, relation, x_blk):
+        bks = jax.tree_util.tree_map(lambda a: a[0], fwd_bk)
+        s = jax.lax.axis_index(axis)
+        x_rot = x_blk
+        out = jnp.full((vb,) + x_rot.shape[1:], neutral, jnp.float32)
+        for k in range(n):
+            b = jax.lax.rem(s - k + n, n)
+            bk = _bucket_at(bks, b)
+            w = edge_weight[bk.edge_id] * bk.valid
+            m = _messages(relation, bk.etype, x_rot[bk.gather_local], msg)
+            mw = m * _wshape(w, m)
+            # padding edges must be neutral for extrema (w=0 alone would
+            # inject value 0); real w=0 edges DO contribute 0, matching the
+            # single-chip m*w-then-segment_max semantics
+            mw = jnp.where(_wshape(bk.valid, mw) > 0, mw, neutral)
+            part = seg(mw, bk.out_local, num_segments=vb)
+            out = combine(out, part)
+            if k + 1 < n:
+                x_rot = jax.lax.ppermute(x_rot, axis, perm)
+        # empty rows -> 0, like the dense-fallback/pallas convention
+        if is_max:
+            return jnp.where(out <= -_BIG / 2, 0.0, out)
+        return jnp.where(out >= _BIG / 2, 0.0, out)
+
+    fwd_sm = shard_map(
+        fwd_body, mesh=mesh, in_specs=(rep, espec, rep, espec),
+        out_specs=espec, check_vma=False,
+    )
+
+    def bwd_body(edge_weight, rev_bk, relation, x_blk, g_blk, out_blk):
+        bks = jax.tree_util.tree_map(lambda a: a[0], rev_bk)
+        s = jax.lax.axis_index(axis)
+        x_own = x_blk
+        rot = (g_blk, out_blk)  # dst-indexed: rotate together
+        dx = jnp.zeros((vb,) + x_own.shape[1:], jnp.float32)
+        dr = None
+        for k in range(n):
+            b = jax.lax.rem(s - k + n, n)
+            bk = _bucket_at(bks, b)
+            w = edge_weight[bk.edge_id] * bk.valid
+            g_rows = rot[0][bk.gather_local]
+            out_rows = rot[1][bk.gather_local]
+            x_rows = x_own[bk.out_local]
+            if relation.ndim == 3:
+                rel_e = relation[bk.etype]
+            else:
+                rel_e = relation[bk.etype]
+                if g_rows.ndim == 3:
+                    rel_e = rel_e[:, None, :]
+            m = rel_e * x_rows if msg == "mul" else rel_e + x_rows
+            mw = m * _wshape(w, m)
+            # tied-edge convention: every recompute-equal edge gets gradient
+            eq = (mw == out_rows).astype(jnp.float32)
+            gw = g_rows * eq * _wshape(w, g_rows)
+            dx_e = rel_e * gw if msg == "mul" else gw
+            dr_e = x_rows * gw if msg == "mul" else gw
+            dx = dx + jax.ops.segment_sum(dx_e, bk.out_local, num_segments=vb)
+            dr_p = jax.ops.segment_sum(
+                dr_e, bk.etype, num_segments=relation.shape[0]
+            )
+            dr = dr_p if dr is None else dr + dr_p
+            if k + 1 < n:
+                rot = jax.lax.ppermute(rot, axis, perm)
+        if relation.ndim < dr.ndim:
+            dr = dr.sum(axis=tuple(range(1, dr.ndim - relation.ndim + 1)))
+        return jax.lax.psum(dr, axis), dx
+
+    bwd_sm = shard_map(
+        bwd_body, mesh=mesh,
+        in_specs=(rep, espec, rep, espec, espec, espec),
+        out_specs=(rep, espec), check_vma=False,
+    )
+
+    v_pad = vb * n
+
+    def _pad_rows(arr):
+        if arr.shape[0] == v_pad:
+            return arr
+        return jnp.concatenate(
+            [arr, jnp.zeros((v_pad - arr.shape[0],) + arr.shape[1:], arr.dtype)],
+            0,
+        )
+
+    def _to_blocks(inputs, arr):
+        arr = _pad_rows(arr)
+        return arr if inputs.to_old is None else arr[inputs.to_old]
+
+    def _from_blocks(inputs, arr):
+        if inputs.to_new is None:
+            return arr[:num_nodes]
+        return arr[inputs.to_new]
+
+    @jax.custom_vjp
+    def rspmm(edge_weight, inputs, relation, x):
+        if inputs.permuted_io:
+            assert x.shape[0] == v_pad, (x.shape, v_pad)
+            return fwd_sm(edge_weight, inputs.fwd, relation, x)
+        out = fwd_sm(edge_weight, inputs.fwd, relation, _to_blocks(inputs, x))
+        return _from_blocks(inputs, out)
+
+    def vjp_fwd(edge_weight, inputs, relation, x):
+        out = rspmm(edge_weight, inputs, relation, x)
+        return out, (edge_weight, inputs, relation, x, out)
+
+    def _zeros_leaf(leaf):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return jnp.zeros_like(leaf)
+        return jnp.zeros(leaf.shape, dtype=jax.dtypes.float0)
+
+    def vjp_bwd(res, g):
+        edge_weight, inputs, relation, x, out = res
+        if inputs.permuted_io:
+            dr, dx = bwd_sm(
+                edge_weight, inputs.rev, relation, x, g, out
+            )
+        else:
+            dr, dx_pad = bwd_sm(
+                edge_weight, inputs.rev, relation,
+                _to_blocks(inputs, x), _to_blocks(inputs, g),
+                _to_blocks(inputs, out),
+            )
+            dx = _from_blocks(inputs, dx_pad)
+            if dx.shape[0] > x.shape[0]:
+                dx = dx[: x.shape[0]]
+            elif dx.shape[0] < x.shape[0]:
+                dx = jnp.concatenate(
+                    [dx, jnp.zeros((x.shape[0] - dx.shape[0],) + dx.shape[1:],
+                                   dx.dtype)], 0,
+                )
+        return (
+            jnp.zeros_like(edge_weight),
+            jax.tree_util.tree_map(_zeros_leaf, inputs),
+            dr,
+            dx,
+        )
+
+    rspmm.defvjp(vjp_fwd, vjp_bwd)
+    return rspmm
+
+
 def ring_rspmm(
     edge_weight,
     inputs: RingRspmmInputs,
@@ -399,17 +571,26 @@ def ring_rspmm(
     x,
     *,
     msg: str,
+    agg: str = "add",
     mesh: Mesh,
     axis: str = "edge",
     compute_dtype: str = "float32",
 ):
-    """AGG='add' rspmm with ring-pipelined row-sharded node states (module
-    banner). edge_weight: replicated [E]; relation replicated; x [V, ...]
-    (consumed row-sharded along `axis`; a replicated x is sliced on entry).
-    Returns [V, ...] row-sharded the same way. When the inputs carry
-    per-bucket CSR layouts (build_ring_rspmm_inputs(pallas=True)) and
-    msg='mul', each ring step runs the fused Pallas kernels instead of XLA
-    segment ops (compute_dtype applies there, like the single-chip op)."""
+    """Ring-pipelined row-sharded rspmm (module banner). edge_weight:
+    replicated [E]; relation replicated; x [V, ...] (consumed row-sharded
+    along `axis`; a replicated x is sliced on entry). Returns [V, ...]
+    row-sharded the same way. agg: 'add' (pipelined sums; when the inputs
+    carry per-bucket CSR layouts — build_ring_rspmm_inputs(pallas=True) —
+    and msg='mul', each step runs the fused Pallas kernels instead of XLA
+    segment ops, with compute_dtype like the single-chip op) or 'max'/'min'
+    (associative extrema combine + argext backward)."""
+    if agg in ("max", "min"):
+        fn = _make_ring_rspmm_minmax(
+            msg, agg, inputs.num_nodes, inputs.v_block, inputs.n_shards,
+            mesh, axis,
+        )
+        return fn(edge_weight, inputs, relation, x)
+    assert agg == "add", agg
     use_pallas = inputs.fwd_lay is not None and msg == "mul"
     fn = _make_ring_rspmm(
         msg, inputs.num_nodes, inputs.v_block, inputs.n_shards, mesh, axis,
