@@ -191,3 +191,152 @@ def test_multi_tower_export_import_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(back)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r2 #4: the authored-real-schema gate. Key inventory enumerated
+# statically from the reference module tree at FLAGSHIP scale (td_ultra_*:
+# 6x64 towers) — /root/reference/ultra/model.py:17-56 (TransferNBFNet:
+# layers/mlp/dist_embed), layer.py:210-229 (Mod conv: linear/layer_norm/
+# relation_projection MLP), rel_model.py:381-416 + :253-263 (RelNBFNet ->
+# CustomNBFNetFull: layers with relation Embedding(4, 64), dead scorer mlp),
+# util.py:241-247 (graph buffers scrubbed on load), util.py:263-269
+# (optimizer state dropped by default).
+# ---------------------------------------------------------------------------
+
+
+def td_ultra_schema(L=6, d=64):
+    """Exact (key, shape) inventory of a real td_ultra_* checkpoint's
+    state dict. torch Linear weights are [out, in]."""
+    keys = {}
+    for i in range(L):
+        keys[f"model.layers.{i}.linear.weight"] = (d, 2 * d)
+        keys[f"model.layers.{i}.linear.bias"] = (d,)
+        keys[f"model.layers.{i}.layer_norm.weight"] = (d,)
+        keys[f"model.layers.{i}.layer_norm.bias"] = (d,)
+        for j in range(2):
+            keys[f"model.layers.{i}.relation_projection.layers.{j}.weight"] = (d, d)
+            keys[f"model.layers.{i}.relation_projection.layers.{j}.bias"] = (d,)
+    feat = 2 * d  # hidden + input
+    keys["model.mlp.layers.0.weight"] = (feat, feat)
+    keys["model.mlp.layers.0.bias"] = (feat,)
+    keys["model.mlp.layers.1.weight"] = (1, feat)
+    keys["model.mlp.layers.1.bias"] = (1,)
+    keys["model.dist_embed.weight"] = (10, d)  # dead (model.py:56)
+    for i in range(L):
+        keys[f"rel_models.0.model.layers.{i}.linear.weight"] = (d, 2 * d)
+        keys[f"rel_models.0.model.layers.{i}.linear.bias"] = (d,)
+        keys[f"rel_models.0.model.layers.{i}.layer_norm.weight"] = (d,)
+        keys[f"rel_models.0.model.layers.{i}.layer_norm.bias"] = (d,)
+        keys[f"rel_models.0.model.layers.{i}.relation.weight"] = (4, d)
+    # dead rel-tower scorer (rel_model.py:263): MLP(128, [128, 64])
+    keys["rel_models.0.model.mlp.layers.0.weight"] = (feat, feat)
+    keys["rel_models.0.model.mlp.layers.0.bias"] = (feat,)
+    keys["rel_models.0.model.mlp.layers.1.weight"] = (d, feat)
+    keys["rel_models.0.model.mlp.layers.1.bias"] = (d,)
+    return keys
+
+
+class _FakeGraphBuffer:
+    """Stands in for the non-tensor torchdrug Graph buffers that a checkpoint
+    saved WITHOUT clean_save would carry (safe_load scrubs them by the
+    non-tensor check, util.py:241-247)."""
+
+
+@pytest.mark.parametrize("ddp_prefix", [False, True])
+def test_import_real_td_ultra_schema(tmp_path, ddp_prefix):
+    g = torch.Generator().manual_seed(7)
+    schema = td_ultra_schema()
+    sd = {k: torch.randn(*shape, generator=g) for k, shape in schema.items()}
+    # graph buffers + optimizer state as a raw (non-clean_save) DDP save
+    # would carry them
+    sd["fact_graph_0"] = _FakeGraphBuffer()
+    sd["rel_graph_0"] = _FakeGraphBuffer()
+    if ddp_prefix:
+        sd = {f"module.{k}": v for k, v in sd.items()}
+    opt = {
+        "state": {0: {"step": torch.tensor(1.0),
+                      "exp_avg": torch.zeros(64, 128),
+                      "exp_avg_sq": torch.zeros(64, 128)}},
+        "param_groups": [{"lr": 5e-4, "params": [0]}],
+    }
+    path = str(tmp_path / "td_ultra_like.pth")
+    torch.save({"model": sd, "optimizer": opt}, path)
+
+    cfg = UltraConfig.default(num_relations=237)  # FB15k237 flagship shape
+    params = ultra_init(jax.random.PRNGKey(0), cfg)
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any unmatched-key warning fails
+        loaded = import_torch_checkpoint(path, params)
+
+    pref = "module." if ddp_prefix else ""
+    # every forward-relevant weight landed, with the torch [out, in] -> ours
+    # [in, out] transpose
+    for i in range(6):
+        np.testing.assert_array_equal(
+            np.asarray(loaded["entity"]["layers"][i]["linear"]["w"]),
+            sd[f"{pref}model.layers.{i}.linear.weight"].numpy().T)
+        np.testing.assert_array_equal(
+            np.asarray(loaded["entity"]["layers"][i]["layer_norm"]["scale"]),
+            sd[f"{pref}model.layers.{i}.layer_norm.weight"].numpy())
+        np.testing.assert_array_equal(
+            np.asarray(loaded["relation"]["layers"][i]["relation"]["weight"]),
+            sd[f"{pref}rel_models.0.model.layers.{i}.relation.weight"].numpy())
+        for j in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(loaded["entity"]["layers"][i]
+                           ["relation_projection"]["layers"][j]["w"]),
+                sd[f"{pref}model.layers.{i}.relation_projection.layers.{j}.weight"].numpy().T)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["entity"]["mlp"]["layers"][1]["b"]),
+        sd[f"{pref}model.mlp.layers.1.bias"].numpy())
+
+
+def test_import_real_schema_fix_reasoner(tmp_path):
+    """fix_reasoner on the real schema: relation embeddings and projection
+    MLPs keep the CURRENT model's values (util.py:249-259)."""
+    g = torch.Generator().manual_seed(3)
+    sd = {k: torch.randn(*shape, generator=g)
+          for k, shape in td_ultra_schema().items()}
+    path = str(tmp_path / "td_ultra_like.pth")
+    torch.save({"model": sd, "optimizer": {}}, path)
+
+    cfg = UltraConfig.default(num_relations=237)
+    params = ultra_init(jax.random.PRNGKey(0), cfg)
+    loaded = import_torch_checkpoint(path, params, fix_reasoner=True)
+
+    for i in range(6):
+        # reasoner weights preserved from the current params
+        np.testing.assert_array_equal(
+            np.asarray(loaded["relation"]["layers"][i]["relation"]["weight"]),
+            np.asarray(params["relation"]["layers"][i]["relation"]["weight"]))
+        np.testing.assert_array_equal(
+            np.asarray(loaded["entity"]["layers"][i]
+                       ["relation_projection"]["layers"][0]["w"]),
+            np.asarray(params["entity"]["layers"][i]
+                       ["relation_projection"]["layers"][0]["w"]))
+        # non-reasoner weights come from the checkpoint
+        np.testing.assert_array_equal(
+            np.asarray(loaded["entity"]["layers"][i]["linear"]["w"]),
+            sd[f"model.layers.{i}.linear.weight"].numpy().T)
+
+
+def test_export_emits_exact_real_schema(tmp_path):
+    """export_torch_checkpoint's key set must equal the real td_ultra_*
+    inventory exactly (strict reference-side loaders find every key)."""
+    from ultra_torchdrug_tpu.utils.checkpoint import export_torch_checkpoint
+
+    cfg = UltraConfig.default(num_relations=237)
+    params = ultra_init(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "exported.pth")
+    export_torch_checkpoint(path, jax.tree_util.tree_map(np.asarray, params))
+    sd = torch.load(path, weights_only=False)["model"]
+    schema = td_ultra_schema()
+    assert set(sd) == set(schema), (
+        set(sd) ^ set(schema)
+    )
+    for k, shape in schema.items():
+        assert tuple(sd[k].shape) == shape, (k, tuple(sd[k].shape), shape)

@@ -113,16 +113,33 @@ def _keep_reasoner_weights(loaded, current):
 def import_torch_checkpoint(path: str, params_template, fix_reasoner: bool = False):
     """Map the reference's state-dict layout onto our parameter tree.
 
-    Reference keys (MultiGraphPreTraining / *Adapted task state dicts):
-      model.layers.{i}.linear.{weight,bias}            -> entity.layers[i].linear
-      model.layers.{i}.layer_norm.{weight,bias}        -> entity.layers[i].layer_norm
-      model.layers.{i}.relation_projection.layers.{j}.* -> entity.layers[i].relation_projection.layers[j]
-      model.mlp.layers.{j}.{weight,bias}               -> entity.mlp.layers[j]
-      rel_models.0.model.layers.{i}.linear.*           -> relation.layers[i].linear
-      rel_models.0.model.layers.{i}.layer_norm.*       -> relation.layers[i].layer_norm
-      rel_models.0.model.layers.{i}.relation.weight    -> relation.layers[i].relation.weight
-    Ignored: dist_embed, rel-tower mlp (dead code in the reference forward),
-    graph buffers, DDP "module." prefixes.
+    Full key inventory of a real ``td_ultra_*`` checkpoint (the task module
+    tree: MultiGraphPreTraining wrapping TransferNBFNet at
+    /root/reference/ultra/model.py:17-56 + RelationModelList[RelNBFNet] at
+    rel_model.py:381-416; per-layer params from layer.py:210-229 (Mod) and
+    layer.py:30-50; torch Linear weights are [out, in] -> transposed here):
+
+      mapped (weights the forward pass uses):
+        model.layers.{i}.linear.{weight,bias}             -> entity.layers[i].linear.{w^T,b}
+        model.layers.{i}.layer_norm.{weight,bias}         -> entity.layers[i].layer_norm.{scale,bias}
+        model.layers.{i}.relation_projection.layers.{j}.{weight,bias}
+                                                          -> entity.layers[i].relation_projection.layers[j].{w^T,b}
+        model.mlp.layers.{j}.{weight,bias}                -> entity.mlp.layers[j].{w^T,b}
+        rel_models.{t}.model.layers.{i}.linear.*          -> relation[t].layers[i].linear
+        rel_models.{t}.model.layers.{i}.layer_norm.*      -> relation[t].layers[i].layer_norm
+        rel_models.{t}.model.layers.{i}.relation.weight   -> relation[t].layers[i].relation.weight
+        rel_models.{t}.model.learnable_q.weight           -> relation[t].learnable_q.weight
+                                                             (learn_query configs, rel_model.py:345-349)
+      deliberately ignored (dead in the reference forward, or environment):
+        model.dist_embed.weight                 (instantiated at model.py:56, never used)
+        rel_models.{t}.model.mlp.layers.{j}.*   (rel-tower scorer, rel_model.py:263 — unused by RelNBFNet.forward)
+        model.query / *.query.weight            (commented out upstream; TransferNBFNet.query is data, not a param)
+        {fact_,train_,valid_,test_,}graph*, *rel_graph* buffers (non-tensor; scrubbed
+                                                 like util.py:241-247 — also skipped here by the tensor check)
+        DDP "module." prefixes                  (stripped)
+      optimizer state: present in the file ({"model", "optimizer"}) but dropped,
+        matching safe_load's default drop_optimizer=True (util.py:233,263-269).
+    Anything else raises a warning (unmatched keys = schema drift).
     """
     import torch
 
@@ -207,6 +224,15 @@ def import_torch_checkpoint(path: str, params_template, fix_reasoner: bool = Fal
         if m:
             t, i = int(m.group(1)), int(m.group(2))
             assign(_rel_path(params, t) + ["layers", i, "relation", "weight"], value)
+            continue
+        m = re.match(r"rel_models\.(\d+)\.model\.learnable_q\.weight$", key)
+        if m:
+            t = int(m.group(1))
+            node = params
+            for p in _rel_path(params, t):
+                node = node[p]
+            if "learnable_q" in node:  # learn_query configs only
+                assign(_rel_path(params, t) + ["learnable_q", "weight"], value)
             continue
         if re.search(r"dist_embed|rel_models\.\d+\.model\.mlp|graph|query\.weight", key):
             continue
