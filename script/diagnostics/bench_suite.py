@@ -1,0 +1,146 @@
+"""Secondary perf artifacts (VERDICT r2 #5): every headline claim in
+STATUS.md gets a machine-written JSON record in BENCH_SUITE.json at the repo
+root, refreshed by running this on the real TPU:
+
+  * rspmm max/min-aggregation kernel fwd+bwd (argext VJP) edges/s
+  * dense-MXU relation tower forward (FB-scale 474-node relation graph)
+  * full train step (single FB-scale graph, remat auto, batch 64)
+  * eval batch (2x all-entity scoring + filtered ranks)
+
+bench.py stays the driver-facing headline (one JSON line, distmult/add).
+
+Usage:  python script/diagnostics/bench_suite.py [--out BENCH_SUITE.json]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+
+
+def timeit(fn, *args, n=4, repeats=3):
+    import jax
+
+    jax.block_until_ready(fn(*args))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.time() - t0) / n)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SUITE.json"))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+    )
+    backend = jax.default_backend()
+    results = {"backend": backend, "measured_at": time.strftime("%Y-%m-%d")}
+
+    # ---- kernel: max/min aggregation fwd+bwd (bench.py workload) ----------
+    sys.path.insert(0, REPO)
+    from bench import build_workload
+
+    from ultra_torchdrug_tpu.data.graph import Graph
+    from ultra_torchdrug_tpu.ops.rspmm import generalized_rspmm
+
+    triplets, rel, x = build_workload()
+    V, R = 15000, 474
+    E = triplets.shape[0]
+    impl = "pallas" if backend == "tpu" else "xla"
+    g = Graph.from_triplets(triplets, V, R)
+    if impl == "pallas":
+        g = g.prepare_pallas()
+
+    for agg in ("max", "min"):
+        def loss(xx, rr):
+            out = generalized_rspmm(
+                g.edge_index, g.edge_type, g.edge_weight, rr, xx,
+                msg="mul", agg=agg, num_nodes=V, impl=impl, layouts=g.layouts,
+            )
+            return jnp.sum(out * out)
+
+        grad_fn = jax.value_and_grad(loss, argnums=(0, 1))
+
+        @jax.jit
+        def chain(xx, rr):
+            for _ in range(2):
+                _, (gx, gr) = grad_fn(xx, rr)
+                xx = xx + 1e-12 * gx
+                rr = rr + 1e-12 * gr
+            return xx, rr
+
+        t = timeit(chain, jnp.asarray(x), jnp.asarray(rel), n=1) / 2
+        results[f"rspmm_{agg}_fwd_bwd"] = {
+            "ms": round(t * 1e3, 2), "edges_per_s": round(E / t, 1),
+            "impl": impl, "F": 4096,
+        }
+        print(f"rspmm {agg}: {t*1e3:.2f} ms  {E/t/1e6:.2f}M edges/s", flush=True)
+
+    # ---- dense-MXU relation tower + full train step + eval batch ----------
+    from ultra_torchdrug_tpu.data.datasets import synthetic_transductive
+    from ultra_torchdrug_tpu.models.ultra import UltraConfig, _rel_queries
+    from ultra_torchdrug_tpu.tasks.task import TaskConfig, TransductiveKGTask
+
+    ds = synthetic_transductive("fb", 14541, 272115, 237, seed=0)
+    cfg = UltraConfig.default(ds.num_relations, rspmm_impl=impl)
+    cfg = dataclasses.replace(
+        cfg,
+        entity=dataclasses.replace(cfg.entity, remat=True),
+        relation=dataclasses.replace(cfg.relation, remat=True),
+    )
+    task = TransductiveKGTask(ds, cfg, TaskConfig(num_negative=128))
+    params = task.init_params(jax.random.PRNGKey(0))
+    B = 64
+    batch = jnp.asarray(task.train_triples[:B])
+    key = jax.random.PRNGKey(1)
+
+    _, relg_p = task._prepare_graphs(task.fact_graph, task.rel_graph)
+    rel_fwd = jax.jit(lambda p: _rel_queries(p, cfg, relg_p, batch[:, 2]))
+    t = timeit(rel_fwd, params)
+    results["rel_tower_fwd_dense_mxu"] = {
+        "ms": round(t * 1e3, 2), "rel_nodes": int(relg_p.num_nodes),
+        "layers": 6,
+    }
+    print(f"rel tower fwd: {t*1e3:.2f} ms", flush=True)
+
+    step = jax.jit(jax.value_and_grad(
+        lambda p: task._loss_fn(p, key, batch, None)[0]))
+    t = timeit(step, params, n=2)
+    results["train_step_fwd_bwd_fb"] = {
+        "ms": round(t * 1e3, 1), "B": B, "V": int(ds.num_entities),
+        "E_und": int(2 * task.fact_graph.num_edges), "remat": "full",
+    }
+    print(f"train fwd+bwd: {t*1e3:.1f} ms", flush=True)
+
+    ev = task._eval_fn
+    ebatch = jnp.asarray(task.eval_triples("valid")[:16])
+    t = timeit(lambda p: ev(p, ebatch), params, n=2)
+    results["eval_batch16"] = {
+        "ms": round(t * 1e3, 1),
+        "triples_per_s": round(16 / t, 1),
+    }
+    print(f"eval batch-16: {t*1e3:.1f} ms", flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

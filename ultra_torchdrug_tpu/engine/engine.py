@@ -177,85 +177,89 @@ class Engine:
         layers = len(task.model_cfg.entity.hidden_dims)
         return 2 * fact.num_edges * layers * 2  # und edges x layers x fwd/bwd
 
-    def train(self, num_epoch: int = 1, batch_per_epoch: Optional[int] = None):
+    def _epoch_chunks(self, batch_per_epoch: Optional[int]):
+        """Yield (graph_id, k, device_batch, sample_weight) per dispatch.
+        Runs on the prefetch worker: numpy batch assembly AND the
+        host->device transfer happen one chunk ahead of the dispatch loop
+        (the reference's DataLoader worker prefetch, engine.py:48-51 — here
+        a single thread suffices since sampling is device-side)."""
         task = self.task
+        K = self.steps_per_call
+        if self._is_multigraph:
+            bpe = batch_per_epoch or 1000
+            done = 0
+            while done < bpe:
+                # one mixture draw per chunk (see steps_per_call note)
+                gid = task.sample_graph_id(self.rng)
+                edges = task.train_triples[gid]
+                batch = np.stack([
+                    self._full_batch(
+                        edges, self.rng.permutation(len(edges))[: self.batch_size]
+                    )
+                    for _ in range(K)
+                ])
+                if K == 1:
+                    batch = batch[0]
+                yield gid, K, jnp.asarray(batch), None
+                done += K
+        else:
+            triples = task.train_triples
+            order = self.rng.permutation(len(triples))
+            n_batches = len(order) // self.batch_size
+            bpe = min(batch_per_epoch or n_batches, n_batches) or 1
+            # K > 1 rounds the epoch up to whole chunks, wrapping into the
+            # start of the permutation (same wrap rule as short batches) —
+            # at most K-1 extra steps per epoch vs the reference loop
+            for c in range(-(-bpe // K)):
+                batches, sws = [], []
+                for i in range(c * K, c * K + K):
+                    lo = (i % bpe) * self.batch_size
+                    idx = order[lo : lo + self.batch_size]
+                    if len(idx) < self.batch_size:
+                        idx = np.concatenate(
+                            [idx, order[: self.batch_size - len(idx)]]
+                        )
+                    # _full_batch backstops datasets smaller than half a
+                    # batch, where one wrap still underfills
+                    batches.append(self._full_batch(triples, idx))
+                    sws.append(task.sample_weight_for(batches[-1]))
+                if K == 1:
+                    batch, sw = batches[0], sws[0]
+                else:
+                    batch = np.stack(batches)
+                    sw = None if sws[0] is None else jnp.stack(sws)
+                yield 0, K, jnp.asarray(batch), sw
+
+    def train(self, num_epoch: int = 1, batch_per_epoch: Optional[int] = None):
+        from concurrent.futures import ThreadPoolExecutor
+
         profiling = False
         if self.profile_dir and not getattr(self, "_profiled", False):
             jax.profiler.start_trace(self.profile_dir)
             profiling, self._profiled = True, True
         for _ in range(num_epoch):
             self.epoch += 1
-            K = self.steps_per_call
-            if self._is_multigraph:
-                bpe = batch_per_epoch or 1000
-                done = 0
-                while done < bpe:
-                    k = K  # K > 1 may overshoot bpe by < K (chunks are whole)
-                    if k == 1:
-                        gid = task.sample_graph_id(self.rng)
-                        edges = task.train_triples[gid]
-                        batch = self._full_batch(
-                            edges,
-                            self.rng.permutation(len(edges))[: self.batch_size],
-                        )
-                    else:
-                        # one mixture draw per chunk (see steps_per_call note)
-                        gid = task.sample_graph_id(self.rng)
-                        edges = task.train_triples[gid]
-                        batch = np.stack([
-                            self._full_batch(edges, self.rng.permutation(
-                                len(edges))[: self.batch_size])
-                            for _ in range(k)
-                        ])
+            it = self._epoch_chunks(batch_per_epoch)
+            # double-buffered host pipeline: the worker assembles chunk c+1
+            # and issues its device transfer while chunk c's step executes;
+            # the main loop never blocks (metrics stay on device until the
+            # meter's window fetch)
+            with ThreadPoolExecutor(1) as ex:
+                pending = ex.submit(next, it, None)
+                while True:
+                    item = pending.result()
+                    if item is None:
+                        break
+                    pending = ex.submit(next, it, None)
+                    gid, k, batch, sw = item
                     step_fn = self._get_step_fn(gid)
                     self.params, self.opt_state, metrics = step_fn(
                         self.params, self.opt_state,
-                        np.uint32(self.meter.global_step),
-                        jnp.asarray(batch), None,
+                        np.uint32(self.meter.global_step), batch, sw,
                     )
-                    # metrics stay on device until the meter's window fetch —
-                    # the loop never blocks, so batch prep + dispatch overlap
-                    # the device step
                     self.meter.update_many(
                         metrics, k,
                         rates={"edges_per_s": k * self._edges_per_step(gid)},
-                    )
-                    done += k
-            else:
-                triples = task.train_triples
-                order = self.rng.permutation(len(triples))
-                n_batches = len(order) // self.batch_size
-                bpe = min(batch_per_epoch or n_batches, n_batches) or 1
-                step_fn = self._get_step_fn(0)
-                # K > 1 rounds the epoch up to whole chunks, wrapping into the
-                # start of the permutation (same wrap rule as short batches) —
-                # at most K-1 extra steps per epoch vs the reference loop
-                for c in range(-(-bpe // K)):
-                    batches, sws = [], []
-                    for i in range(c * K, c * K + K):
-                        lo = (i % bpe) * self.batch_size
-                        idx = order[lo : lo + self.batch_size]
-                        if len(idx) < self.batch_size:
-                            idx = np.concatenate(
-                                [idx, order[: self.batch_size - len(idx)]]
-                            )
-                        # _full_batch backstops datasets smaller than half a
-                        # batch, where one wrap still underfills
-                        batches.append(self._full_batch(triples, idx))
-                        sws.append(task.sample_weight_for(batches[-1]))
-                    if K == 1:
-                        batch, sw = batches[0], sws[0]
-                    else:
-                        batch = np.stack(batches)
-                        sw = None if sws[0] is None else jnp.stack(sws)
-                    self.params, self.opt_state, metrics = step_fn(
-                        self.params, self.opt_state,
-                        np.uint32(self.meter.global_step),
-                        jnp.asarray(batch), sw,
-                    )
-                    self.meter.update_many(
-                        metrics, K,
-                        rates={"edges_per_s": K * self._edges_per_step()},
                     )
             self.meter.log_window()
             self.logger.info(f"epoch {self.epoch} done")

@@ -26,6 +26,7 @@ logic on CPU.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -36,10 +37,13 @@ from jax.experimental.pallas import tpu as pltpu
 from .csr import CsrLayout
 
 _VMEM_DATA_BUDGET = 56 * 1024 * 1024  # gathered operand VMEM residency cap
-GROUP = 8  # row DMAs per shared semaphore (grouped-wait templates)
-NGRP = 4   # groups in flight
+# pipeline-depth knobs (env-overridable for the kernel-floor sweep,
+# script/diagnostics/kernel_sweep.py; defaults = best measured config)
+GROUP = int(os.environ.get("RSPMM_GROUP", 8))  # row DMAs per shared semaphore
+NGRP = int(os.environ.get("RSPMM_NGRP", 4))    # groups in flight
 _LANE = 128
-NACC = 8   # independent telescoping accumulators (FMA-chain ILP); divides tile_edges
+# independent telescoping accumulators (FMA-chain ILP); divides tile_edges
+NACC = int(os.environ.get("RSPMM_NACC", 8))
 # identity element magnitude for max/min aggregation: rows that never receive
 # a real edge keep +-_BIG and are masked to 0 after the kernel (the XLA
 # oracle's empty-row convention). Real weight-0 edges still contribute 0,
