@@ -93,7 +93,9 @@ def main(argv=None):
         "optimizer": {"class": "AdamW", "lr": 5e-4},
     }
     task = build_task(task_cfg, dataset, rspmm_impl=args.rspmm_impl)
-    engine = build_engine(cfg, task, work_dir=".")
+    import tempfile
+
+    engine = build_engine(cfg, task, work_dir=tempfile.mkdtemp(prefix="zsp_"))
     engine.load(args.ckpt)
 
     metrics = engine.evaluate(args.split, fast_test=args.fast_test)

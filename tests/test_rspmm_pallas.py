@@ -435,3 +435,104 @@ def test_flat_mode_matches_3d(rng, impl, agg):
     np.testing.assert_allclose(np.asarray(gf[1]),
                                np.asarray(g3[1]).reshape(V, -1),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("agg", ["add", "max", "min"])
+@pytest.mark.parametrize("msg", ["mul", "add"])
+def test_pallas_blocked_source_streaming(rng, msg, agg):
+    """blocked=True layouts (build_blocked_layout): the forward streams whole
+    source blocks through VMEM via BlockSpec fetches instead of per-edge DMAs,
+    and the distmult fused backward streams g blocks the same way. Forward and
+    gradients must match XLA for every msg x agg combo, including per-batch
+    weight masking."""
+    ei, et, w, rel, rel_b, x, _ = make_graph(rng, V=37, E=400)
+    V = x.shape[0]
+    layouts = build_rspmm_layouts(
+        ei, et, V, 6, tile_rows=16, tile_edges=32, include_rel_layout=True,
+        blocked=True, block_rows=16, bwd_block_rows=8,
+    )
+    assert layouts.fwd_blk is not None and layouts.rev_blk is not None
+    assert layouts.fwd_blk.block_rows == 16
+    assert layouts.rev_blk.block_rows == 8  # asymmetric fwd/bwd geometry
+    keep = (rng.uniform(size=w.shape) > 0.3).astype(np.float32)
+    args = (jnp.asarray(ei), jnp.asarray(et), jnp.asarray(w * keep),
+            jnp.asarray(rel_b), jnp.asarray(x))
+    want = generalized_rspmm(*args, msg=msg, agg=agg, num_nodes=V, impl="xla")
+    got = generalized_rspmm(*args, msg=msg, agg=agg, num_nodes=V,
+                            impl="pallas", layouts=layouts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(impl, lay):
+        def f(r, xx):
+            out = generalized_rspmm(args[0], args[1], args[2], r, xx,
+                                    msg=msg, agg=agg, num_nodes=V,
+                                    impl=impl, layouts=lay)
+            return jnp.sum(out * jnp.sin(out))
+        return f
+
+    g_xla = jax.grad(loss("xla", None), argnums=(0, 1))(args[3], args[4])
+    g_blk = jax.grad(loss("pallas", layouts), argnums=(0, 1))(args[3], args[4])
+    for a, b in zip(g_xla, g_blk):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_blocked_empty_output_tiles(rng):
+    """Blocked layouts give edge-free output tiles a padding chunk in their
+    (t, 0) bucket so the kernel still zeroes them: all edges touch nodes < 48
+    while V=200 with block_rows=16."""
+    V, E, R, B, D = 200, 150, 5, 2, 4
+    ei = np.stack([rng.integers(0, 48, E), rng.integers(0, 48, E)], 1).astype(np.int32)
+    et = rng.integers(0, R, E).astype(np.int32)
+    w = rng.uniform(0.5, 1.5, E).astype(np.float32)
+    rel = rng.normal(size=(R, D)).astype(np.float32)
+    x = rng.normal(size=(V, B, D)).astype(np.float32)
+    layouts = build_rspmm_layouts(ei, et, V, R, tile_rows=16, tile_edges=32,
+                                  include_rel_layout=True,
+                                  blocked=True, block_rows=16)
+    args = (jnp.asarray(ei), jnp.asarray(et), jnp.asarray(w),
+            jnp.asarray(rel), jnp.asarray(x))
+    for msg in ("mul", "add"):
+        want = generalized_rspmm(*args, msg=msg, agg="add", num_nodes=V,
+                                 impl="xla")
+        got = generalized_rspmm(*args, msg=msg, agg="add", num_nodes=V,
+                                impl="pallas", layouts=layouts)
+        assert np.isfinite(np.asarray(got)).all()
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(impl, lay, msg=msg):
+            def f(r, xx):
+                out = generalized_rspmm(args[0], args[1], args[2], r, xx,
+                                        msg=msg, agg="add", num_nodes=V,
+                                        impl=impl, layouts=lay)
+                return jnp.sum(out * jnp.sin(out))
+            return f
+
+        g_xla = jax.grad(loss("xla", None), argnums=(0, 1))(args[3], args[4])
+        g_blk = jax.grad(loss("pallas", layouts), argnums=(0, 1))(args[3], args[4])
+        for a, b in zip(g_xla, g_blk):
+            assert np.isfinite(np.asarray(b)).all()
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-4)
+
+
+def test_blocked_auto_heuristic(rng):
+    """blocked='auto' picks streaming exactly when the block-stream traffic
+    (num_row_tiles * V rows) beats per-edge gathers (~2E rows)."""
+    from ultra_torchdrug_tpu.ops.csr import blocked_wins
+
+    # dense-ish: V=1k, E=40k, block 1024 -> 1 tile * 1k rows <= 80k
+    assert blocked_wins(1000, 40_000, tile_rows=1024)
+    # sparse: V=100k, E=40k -> 98 tiles * 100k rows >> 80k
+    assert not blocked_wins(100_000, 40_000, tile_rows=1024)
+
+    ei, et, w, rel, rel_b, x, _ = make_graph(rng, V=37, E=400)
+    auto = build_rspmm_layouts(ei, et, 37, 6, tile_rows=16, tile_edges=32,
+                               blocked="auto", block_rows=16)
+    # 3 blocks * 37 rows = 111 <= 2*400: auto enables streaming
+    assert auto.fwd_blk is not None
+    off = build_rspmm_layouts(ei, et, 37, 6, tile_rows=16, tile_edges=32,
+                              blocked=False)
+    assert off.fwd_blk is None and off.rev_blk is None

@@ -211,12 +211,18 @@ class Graph:
         tile_edges: int = 256,
         include_rel_layout: bool = False,
         hot_rows: int = None,
+        blocked="auto",
+        block_rows: int = 1024,
     ) -> "Graph":
         """Attach CSR layouts for the Pallas rspmm kernels (host-side; call
         once per graph after all topology transforms). include_rel_layout is
         only needed for the transe message function. hot_rows: size of the
         VMEM-resident hot-source row table for the forward kernel (default:
-        1024 for graphs too large to be fully VMEM-resident; 0 disables)."""
+        1024 for graphs too large to be fully VMEM-resident; 0 disables).
+        blocked: build blocked-source layouts (VMEM-streamed source blocks,
+        zero per-edge DMAs) for the add forward / fused backward — 'auto'
+        when the streaming traffic beats per-edge gathers (dense-ish graphs:
+        V^2/block_rows < 2E)."""
         from ..ops.csr import build_rspmm_layouts
 
         if hot_rows is None:
@@ -230,6 +236,8 @@ class Graph:
             tile_edges=tile_edges,
             include_rel_layout=include_rel_layout,
             hot_rows=hot_rows,
+            blocked=blocked,
+            block_rows=block_rows,
         )
         return dataclasses.replace(self, layouts=layouts)
 

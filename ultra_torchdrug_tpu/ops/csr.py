@@ -26,15 +26,21 @@ class CsrLayout:
     """Edge layout for one reduction direction.
 
     Arrays (all [C, TE] except noted):
-      gather1:   row index into the primary gathered operand (src for fwd)
+      gather1:   row index into the primary gathered operand (src for fwd);
+                 BLOCK-LOCAL when block_rows > 0
       gather2:   row index into the secondary gathered operand (only used by
                  the d_relation kernel; zeros otherwise)
       aux:       per-edge relation id (VMEM relation lookup; zeros for drel)
       row_local: output row offset within the row tile
       edge_id:   index into the ORIGINAL edge array (weight re-gather)
       valid:     1.0 for real edges, 0.0 for alignment padding
-      cr_pairs:  [2, C] (row_tile_of_chunk; row_tile_of_prev_chunk)
-    """
+      cr_pairs:  [2, C] (row_tile_of_chunk; row_tile_of_prev_chunk) — or
+                 [3, C] for BLOCKED layouts, row 2 = source block of chunk
+
+    block_rows > 0 marks a BLOCKED layout (build_blocked_layout): edges are
+    additionally bucketed by source block of `block_rows` rows, so the kernel
+    streams whole source blocks into VMEM (one BlockSpec fetch per bucket)
+    and every per-edge gather is a VMEM read — no per-edge HBM DMAs."""
 
     gather1: jnp.ndarray
     gather2: jnp.ndarray
@@ -47,10 +53,16 @@ class CsrLayout:
     tile_edges: int = dataclasses.field(metadata=dict(static=True))
     num_row_tiles: int = dataclasses.field(metadata=dict(static=True))
     num_chunks: int = dataclasses.field(metadata=dict(static=True))
+    block_rows: int = dataclasses.field(default=0, metadata=dict(static=True))
+    num_blocks: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def padded_rows(self) -> int:
         return self.num_row_tiles * self.tile_rows
+
+    @property
+    def padded_gather_rows(self) -> int:
+        return self.num_blocks * self.block_rows
 
 
 def build_layout(
@@ -162,6 +174,97 @@ def _finalize_layout(
     )
 
 
+def build_blocked_layout(
+    row_ids: np.ndarray,
+    gather1_ids: np.ndarray,
+    aux_ids: np.ndarray,
+    num_rows: int,
+    num_gather_rows: int,
+    block_rows: int = 1024,
+    tile_rows: int = 1024,
+    tile_edges: int = 256,
+) -> CsrLayout:
+    """Bucket edges by (output row tile, SOURCE block), sort by output row
+    within each bucket, and chunk to tile_edges. The kernel then visits
+    buckets dst-tile-major: the output tile stays VMEM-resident across its
+    buckets, each bucket's source block arrives as ONE pipelined BlockSpec
+    fetch, and per-edge gathers become VMEM reads. Streaming traffic is
+    num_row_tiles * num_gather_rows * F bytes — choose this layout when that
+    beats per-edge row DMAs (V^2/tile_rows < E, heavy-multigraph KGs)."""
+    assert tile_edges % 8 == 0
+    row_ids = np.asarray(row_ids, np.int64)
+    gather1_ids = np.asarray(gather1_ids, np.int64)
+    aux_ids = np.asarray(aux_ids, np.int32)
+    E = len(row_ids)
+    nt = max(1, -(-num_rows // tile_rows))
+    nb = max(1, -(-num_gather_rows // block_rows))
+    rt = row_ids // tile_rows
+    sb = gather1_ids // block_rows
+    order = np.lexsort((row_ids, sb, rt))
+    bucket = (rt * nb + sb)[order]
+    counts = np.bincount(bucket, minlength=nt * nb)
+    aligned = ((counts + tile_edges - 1) // tile_edges) * tile_edges
+    # every output tile needs >= 1 chunk (the kernel zeroes a tile only when
+    # a chunk targeting it arrives): give empty tiles one padding chunk in
+    # their (t, 0) bucket
+    tile_chunks = aligned.reshape(nt, nb)
+    empty_tiles = tile_chunks.sum(axis=1) == 0
+    tile_chunks[empty_tiles, 0] = tile_edges
+    aligned = tile_chunks.reshape(-1)
+    starts = np.concatenate([[0], np.cumsum(aligned)])[:-1]
+    orig_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    pos = starts[bucket] + (np.arange(E) - orig_starts[bucket])
+    E2 = int(aligned.sum())
+
+    def scatter(vals, fill=0, dtype=np.int32):
+        out = np.full(E2, fill, dtype)
+        out[pos] = vals.astype(dtype)
+        return out
+
+    g1 = scatter(gather1_ids[order] - sb[order] * block_rows)
+    aux = scatter(aux_ids[order])
+    row_local = scatter(row_ids[order] - rt[order] * tile_rows)
+    edge_id = scatter(order.astype(np.int32))
+    valid = scatter(np.ones(E, np.float32), 0.0, np.float32)
+
+    C = E2 // tile_edges
+    chunk_bucket = (
+        np.searchsorted(starts, np.arange(C) * tile_edges, side="right") - 1
+    )
+    chunk_rt = (chunk_bucket // nb).astype(np.int32)
+    chunk_sb = (chunk_bucket % nb).astype(np.int32)
+
+    Cp = ((C + 7) // 8) * 8
+
+    def to_chunks(a, fill=0):
+        out = np.full((Cp, tile_edges), fill, a.dtype)
+        out[:C] = a.reshape(C, tile_edges)
+        return out
+
+    cr = np.full(Cp, chunk_rt[-1] if C else 0, np.int32)
+    cr[:C] = chunk_rt
+    csb = np.full(Cp, chunk_sb[-1] if C else 0, np.int32)
+    csb[:C] = chunk_sb
+    cr_pairs = np.stack(
+        [cr, np.concatenate([[-1], cr[:-1]]), csb], 0
+    ).astype(np.int32)
+    return CsrLayout(
+        gather1=to_chunks(g1),
+        gather2=to_chunks(np.zeros(E2, np.int32)),
+        aux=to_chunks(aux),
+        row_local=to_chunks(row_local),
+        edge_id=to_chunks(edge_id),
+        valid=to_chunks(valid, 0.0),
+        cr_pairs=cr_pairs,
+        tile_rows=tile_rows,
+        tile_edges=tile_edges,
+        num_row_tiles=nt,
+        num_chunks=Cp,
+        block_rows=block_rows,
+        num_blocks=nb,
+    )
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class RspmmLayouts:
@@ -183,6 +286,11 @@ class RspmmLayouts:
     hot_ids: object = None  # int32 [K] node ids of the VMEM-resident rows
     rev_hot: object = None  # CsrLayout over hot-DST edges (backward g table)
     rev_hot_ids: object = None  # int32 [K] dst node ids for the backward
+    # blocked-source layouts (build_blocked_layout): when present, the add-
+    # aggregation forward/fused-backward stream source blocks through VMEM
+    # instead of per-edge row DMAs. max/min backward keeps the DMA `rev`.
+    fwd_blk: object = None
+    rev_blk: object = None
 
 
 def pad_layout_chunks(layout: CsrLayout, num_chunks: int) -> CsrLayout:
@@ -205,7 +313,7 @@ def pad_layout_chunks(layout: CsrLayout, num_chunks: int) -> CsrLayout:
     cr = np.asarray(layout.cr_pairs)
     last = int(cr[0, -1]) if cr.shape[1] else 0
     cr2 = np.concatenate(
-        [cr, np.full((2, pad), last, np.int32)], axis=1
+        [cr, np.full((cr.shape[0], pad), last, np.int32)], axis=1
     ).astype(np.int32)
     return dataclasses.replace(
         layout,
@@ -233,6 +341,15 @@ def _remap_edge_id(layout: CsrLayout, orig_ids: np.ndarray) -> CsrLayout:
     return dataclasses.replace(layout, edge_id=remapped)
 
 
+def blocked_wins(num_nodes: int, num_edges: int, tile_rows: int = 1024) -> bool:
+    """Blocked-source streaming reads num_row_tiles * V rows total; per-edge
+    DMAs read ~E rows. Prefer blocked when its traffic is smaller (with
+    margin: per-edge DMAs also pay a serial descriptor floor the stream
+    does not, so blocked is worth up to ~2x the raw byte parity)."""
+    nt = max(1, -(-num_nodes // tile_rows))
+    return nt * num_nodes <= 2 * num_edges
+
+
 def build_rspmm_layouts(
     edge_index: np.ndarray,
     edge_type: np.ndarray,
@@ -242,13 +359,47 @@ def build_rspmm_layouts(
     tile_edges: int = 256,
     include_rel_layout: bool = False,
     hot_rows: int = 0,
+    blocked="auto",
+    block_rows: int = 1024,
+    bwd_block_rows: int = None,
 ) -> RspmmLayouts:
     """hot_rows > 0 splits forward edges by source hotness: the hot_rows
     highest-out-degree sources' rows live in VMEM during the forward kernel
-    (heavy-tailed KGs put most gathers there)."""
+    (heavy-tailed KGs put most gathers there).
+
+    blocked: True/False/'auto' — additionally build blocked-source layouts
+    (source blocks streamed through VMEM; no per-edge DMAs) for the add-
+    aggregation forward and fused backward. 'auto' enables them when the
+    streaming traffic beats per-edge gathers (blocked_wins).
+
+    bwd_block_rows: streamed-g block size of the backward (src-sorted)
+    blocked layout. The fused backward keeps 2x more VMEM rows live per
+    feature column than the forward (dx + x tiles + streamed g blocks + dr,
+    all double-buffered), so the g blocks are half-size — the dx/x tiles
+    stay at block_rows because streaming traffic scales with V^2/tile_rows,
+    not with the g block size. Default: block_rows // 2, floored at 256."""
     edge_index = np.asarray(edge_index)
     edge_type = np.asarray(edge_type)
     src, dst = edge_index[:, 0], edge_index[:, 1]
+    if blocked == "auto":
+        blocked = blocked_wins(num_nodes, len(src), tile_rows=block_rows)
+    if bwd_block_rows is None:
+        bwd_block_rows = max(block_rows // 2, min(block_rows, 256))
+    fwd_blk = rev_blk = None
+    if blocked:
+        fwd_blk = build_blocked_layout(
+            dst, src, edge_type, num_nodes, num_nodes,
+            block_rows=block_rows, tile_rows=block_rows, tile_edges=tile_edges,
+        )
+        # bwd: FULL-size output (dx/x) tiles — streaming traffic scales with
+        # V^2/tile_rows, so shrinking only the streamed-g block (not the dx
+        # tile) keeps traffic at the forward's level while fitting the fused
+        # backward's larger VMEM working set in one feature pass
+        rev_blk = build_blocked_layout(
+            src, dst, edge_type, num_nodes, num_nodes,
+            block_rows=bwd_block_rows, tile_rows=block_rows,
+            tile_edges=tile_edges,
+        )
     rel_layout = None
     if include_rel_layout:
         rel_layout = build_layout(
@@ -314,6 +465,8 @@ def build_rspmm_layouts(
         hot_ids=hot_ids,
         rev_hot=rev_hot,
         rev_hot_ids=rev_hot_ids,
+        fwd_blk=fwd_blk,
+        rev_blk=rev_blk,
     )
     # single host->device shipment of the whole pytree (leaves were kept
     # numpy throughout construction; no intermediate device round-trips)

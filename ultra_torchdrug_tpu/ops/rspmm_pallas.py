@@ -837,8 +837,25 @@ def rspmm_gather1(
     # small gathered operand (relation graphs): keep it VMEM-resident and
     # skip per-edge DMAs entirely
     v_pad = -(-V // 8) * 8
-    data_vmem = (v_pad + rel_rows + 2 * tv + 16) * tf * 4 <= _VMEM_DATA_BUDGET
-    if data_vmem:
+    blocked = layout.block_rows > 0
+    data_vmem = (not blocked and
+                 (v_pad + rel_rows + 2 * tv + 16) * tf * 4 <= _VMEM_DATA_BUDGET)
+    if blocked:
+        # blocked-source streaming (build_blocked_layout): each chunk's
+        # source block arrives as one pipelined BlockSpec fetch; gathers are
+        # VMEM reads — the same kernel body as the resident variant
+        kernel = functools.partial(
+            _kernel_one_gather_vmem, mode=mode, num_chunks=layout.num_chunks,
+            agg=agg,
+        )
+        vg = layout.padded_gather_rows
+        if data.shape[0] < vg:
+            data = jnp.pad(data, ((0, vg - data.shape[0]), (0, 0)))
+        # budget: out tile + streamed block (double-buffered) + relation
+        per_f = rel_rows + 2 * tv + 2 * layout.block_rows + 16
+        tf = max(_LANE, ((80 * 1024 * 1024 // 4) // per_f) // _LANE * _LANE)
+        tf = min(F_pad, tf)
+    elif data_vmem:
         kernel = functools.partial(
             _kernel_one_gather_vmem, mode=mode, num_chunks=layout.num_chunks,
             agg=agg,
@@ -854,7 +871,14 @@ def rspmm_gather1(
     for f0 in range(0, F_pad, tf):
         fw = min(tf, F_pad - f0)
         ft = fw // _LANE  # rows carried as [ft, 128] tiles (no sublane padding)
-        if data_vmem:
+        if blocked:
+            data_f = data[:, f0 : f0 + fw].reshape(-1, ft, _LANE)
+            data_spec = pl.BlockSpec(
+                (layout.block_rows, ft, _LANE),
+                lambda c, cr: (cr[2, c], 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        elif data_vmem:
             data_f = data[:, f0 : f0 + fw].reshape(-1, ft, _LANE)
             data_spec = pl.BlockSpec((v_pad, ft, _LANE), lambda c, cr: (0, 0, 0),
                                      memory_space=pltpu.VMEM)
@@ -874,7 +898,7 @@ def rspmm_gather1(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ]
-        if not data_vmem:
+        if not (data_vmem or blocked):
             scratch += [
                 pltpu.VMEM((NGRP * GROUP, ft, _LANE), xbuf_dtype),
                 pltpu.SemaphoreType.DMA((NGRP,)),
@@ -954,8 +978,25 @@ def rspmm_bwd_fused(
     w3 = w_chunks[:, None, :]
     Vg = g_flat.shape[0]
     vg_pad = -(-Vg // 8) * 8
-    g_vmem = (vg_pad + 2 * r_pad + 4 * tv + 16) * tf * 4 <= _VMEM_DATA_BUDGET
-    if g_vmem:
+    blocked = layout.block_rows > 0
+    g_vmem = (not blocked and
+              (vg_pad + 2 * r_pad + 4 * tv + 16) * tf * 4 <= _VMEM_DATA_BUDGET)
+    if blocked:
+        # blocked-destination streaming: g blocks arrive via BlockSpec, every
+        # per-edge gather is a VMEM read (same body as the resident variant)
+        kernel = functools.partial(
+            _kernel_bwd_fused_vmem, mode="mul", num_chunks=layout.num_chunks
+        )
+        vg = layout.padded_gather_rows
+        if g_flat.shape[0] < vg:
+            g_flat = jnp.pad(g_flat, ((0, vg - g_flat.shape[0]), (0, 0)))
+        # every f-pass repays the full per-edge scalar decode: size tf to
+        # stay single-pass at F=4096 (the flagship width) — 96 MB of data
+        # VMEM, raised vmem limit below
+        per_f = 2 * r_pad + 4 * tv + 2 * layout.block_rows + 16
+        tf = max(_LANE, ((96 * 1024 * 1024 // 4) // per_f) // _LANE * _LANE)
+        tf = min(F_pad, tf)
+    elif g_vmem:
         kernel = functools.partial(
             _kernel_bwd_fused_vmem, mode="mul", num_chunks=layout.num_chunks
         )
@@ -969,7 +1010,20 @@ def rspmm_bwd_fused(
     for f0 in range(0, F_pad, tf):
         fw = min(tf, F_pad - f0)
         ft = fw // _LANE
-        if g_vmem:
+        if blocked:
+            g_arg = g_flat[:, f0 : f0 + fw].reshape(-1, ft, _LANE)
+            g_spec = pl.BlockSpec(
+                (layout.block_rows, ft, _LANE),
+                lambda c, cr: (cr[2, c], 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            scratch = [
+                pltpu.SMEM((2, 4, te), jnp.int32),
+                pltpu.SMEM((2, 1, te), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        elif g_vmem:
             g_arg = g_flat[:, f0 : f0 + fw].reshape(-1, ft, _LANE)
             g_spec = pl.BlockSpec((vg_pad, ft, _LANE), lambda c, cr: (0, 0, 0),
                                   memory_space=pltpu.VMEM)
@@ -1022,7 +1076,10 @@ def rspmm_bwd_fused(
                 jax.ShapeDtypeStruct((r_pad, ft, _LANE), jnp.float32),
             ),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
+                # blocked: 112 MB of the chip's 128 MB — the single-pass
+                # working set at F=4096 (dx/x full tiles + streamed g blocks
+                # + dr, all double-buffered) is ~100 MB
+                vmem_limit_bytes=(112 if blocked else 100) * 1024 * 1024,
             ),
             interpret=interpret,
         )(
@@ -1205,6 +1262,19 @@ def rspmm_fwd_pallas(layouts, edge_weight, relation, x, *, msg, num_nodes,
         x_flat = _flat(x)
         rel_flat = _rel_flat(relation, B)
     mode = "mul_rel" if msg == "mul" else "add_rel"
+    if getattr(layouts, "fwd_blk", None) is not None:
+        # blocked-source streaming: no per-edge DMAs, no hot split needed
+        lay = layouts.fwd_blk
+        out = rspmm_gather1(
+            x_flat, rel_flat, _weight_chunks(edge_weight, lay), lay,
+            lay.gather1, mode=mode, compute_dtype=compute_dtype, agg=agg,
+        )
+        if agg == "max":
+            out = jnp.where(out <= -_BIG / 2, 0.0, out)
+        elif agg == "min":
+            out = jnp.where(out >= _BIG / 2, 0.0, out)
+        out = out[:num_nodes]
+        return out if flat_in else out.reshape(num_nodes, *x.shape[1:])
     out = rspmm_gather1(
         x_flat,
         rel_flat,
@@ -1247,6 +1317,23 @@ def rspmm_bwd_pallas(layouts, edge_weight, relation, x, g, *, msg,
     g_flat = _flat(g)
     if msg == "mul":
         rel_flat = relation if flat_in else _rel_flat(relation, B)
+        rev = layouts.rev
+        if getattr(layouts, "rev_blk", None) is not None:
+            # blocked-destination streaming covers ALL edges (no hot split)
+            rev = layouts.rev_blk
+            dx_flat, dr_flat = rspmm_bwd_fused(
+                _flat(x), g_flat, rel_flat,
+                _weight_chunks(edge_weight, rev), rev,
+                compute_dtype=compute_dtype,
+            )
+            dx = dx_flat[: x.shape[0]].reshape(x.shape)
+            R = relation.shape[0]
+            if flat_in:
+                return dr_flat[:R], dx
+            dr = dr_flat[:R].reshape(R, *x.shape[1:])
+            if relation.ndim == 2:
+                dr = dr.sum(axis=1)
+            return dr, dx
         dx_flat, dr_flat = rspmm_bwd_fused(
             _flat(x), g_flat, rel_flat,
             _weight_chunks(edge_weight, layouts.rev),
@@ -1269,12 +1356,17 @@ def rspmm_bwd_pallas(layouts, edge_weight, relation, x, g, *, msg,
                 "transe backward needs the relation-sorted layout: build with "
                 "include_rel_layout=True (Graph.prepare_pallas)"
             )
+        rev_t = layouts.rev
+        if getattr(layouts, "rev_blk", None) is not None:
+            rev_t = layouts.rev_blk
         dx_flat = rspmm_gather1(
             g_flat, None,
-            _weight_chunks(edge_weight, layouts.rev),
-            layouts.rev, layouts.rev.gather1, mode="none",
+            _weight_chunks(edge_weight, rev_t),
+            rev_t, rev_t.gather1, mode="none",
         )
-        if layouts.rev_hot is not None:
+        # blocked layout covers all edges — the hot pass applies only to the
+        # cold/hot split of the per-edge DMA layout
+        if rev_t is layouts.rev and layouts.rev_hot is not None:
             dx_flat = dx_flat + rspmm_gather1(
                 g_flat[layouts.rev_hot_ids], None,
                 _weight_chunks(edge_weight, layouts.rev_hot),
