@@ -52,7 +52,13 @@ def bench_impl(impl, triplets, rel, x, V, R, chain=4, repeats=3, batch_chunk=Non
     batch ran in B/batch_chunk sequential passes — the XLA segment-op baseline
     materializes [E, B, D] messages (18+ GB at the full workload) and cannot
     run unchunked on a 16 GB chip; chunking is what a non-fused implementation
-    must actually do."""
+    must actually do.
+
+    Timing is the SLOPE between two chain depths (2 and 2+chain steps inside
+    one jit): the difference cancels the per-dispatch constant — over the
+    remote-TPU tunnel that constant is 15-40 ms of RTT plus sync, which would
+    otherwise inflate a ~35 ms step by ~20%. Each chained step consumes the
+    previous step's gradients, so no step can be elided or overlapped."""
     import jax
     import jax.numpy as jnp
 
@@ -81,24 +87,31 @@ def bench_impl(impl, triplets, rel, x, V, R, chain=4, repeats=3, batch_chunk=Non
 
     grad_fn = jax.value_and_grad(lambda xx, rr: loss(xx, rr)[0], argnums=(0, 1))
 
-    @jax.jit
-    def chain_fn(xx, relation):
-        # chain steps so one dispatch covers `chain` fwd+bwd executions
-        for _ in range(chain):
-            (l, (gx, gr)) = grad_fn(xx, relation)
-            xx = xx + 1e-12 * gx
-            relation = relation + 1e-12 * gr
-        return xx, relation
+    def make_chain(n):
+        @jax.jit
+        def chain_fn(xx, relation):
+            for _ in range(n):
+                (l, (gx, gr)) = grad_fn(xx, relation)
+                xx = xx + 1e-12 * gx
+                relation = relation + 1e-12 * gr
+            # scalar result: float() forces completion of the whole chain
+            # (block_until_ready is unreliable over the tunnel)
+            return xx[0, 0, 0] + relation.ravel()[0]
+        return chain_fn
 
-    out = chain_fn(x0, relation)
-    jax.block_until_ready(out)
+    lo, hi = make_chain(2), make_chain(2 + chain)
+    float(lo(x0, relation))  # compile + warm
+    float(hi(x0, relation))
     best = float("inf")
     for _ in range(repeats):
         t0 = time.time()
-        out = chain_fn(x0, relation)
-        jax.block_until_ready(out)
-        best = min(best, time.time() - t0)
-    per_step = best / chain * scale  # one full-batch fwd+bwd
+        float(lo(x0, relation))
+        t_lo = time.time() - t0
+        t0 = time.time()
+        float(hi(x0, relation))
+        t_hi = time.time() - t0
+        best = min(best, (t_hi - t_lo) / chain)
+    per_step = best * scale  # one full-batch fwd+bwd
     E = triplets.shape[0]
     return E / per_step, per_step
 

@@ -237,6 +237,39 @@ def make_kernel(variant: str, num_chunks: int):
                 out_ref[pl.ds(d_last, 1)] + (total - mark_ref[...])[None])
             return
 
+        if variant == "v7_direct":
+            # branch-free per-edge dynamic RMW into the out tile: no flush
+            # branch, no telescoping, no accumulator rotation. Mosaic
+            # serializes same-ref RMW correctly (the shipped fused backward's
+            # dr scatter is hardware-parity-tested); v5 measured that
+            # serialization at ~3 cyc/edge, so at short run lengths this
+            # should beat the flush machinery (~6 cyc/edge at runlen 2).
+            def body(i, z):
+                xrow = data_ref[mbuf[slot, 0, i]]
+                w = wbuf[slot, 0, i]
+                d = mbuf[slot, 2, i]
+                msg = rel_ref[mbuf[slot, 1, i]] * xrow
+                out_ref[pl.ds(d, 1)] = out_ref[pl.ds(d, 1)] + (msg * w)[None]
+                return z
+
+            jax.lax.fori_loop(0, te, body, 0)
+            return
+
+        if variant == "v8_direct_packed":
+            # v7 + packed metadata: one SMEM load per edge, 20/10-bit split
+            # (idx << 20 | rel << 10 | row_local) for tv up to 1024.
+            def body(i, z):
+                m = mbuf[slot, 0, i]
+                xrow = data_ref[m >> 20]
+                w = wbuf[slot, 0, i]
+                d = m & 1023
+                msg = rel_ref[(m >> 10) & 1023] * xrow
+                out_ref[pl.ds(d, 1)] = out_ref[pl.ds(d, 1)] + (msg * w)[None]
+                return z
+
+            jax.lax.fori_loop(0, te, body, 0)
+            return
+
         # v0_current: the shipped telescoping add path
         def body(i, carry):
             d_prev, acc = carry
@@ -282,6 +315,9 @@ def run_variant(variant, E, runlen, F=4096, V=4096, R=480, te=8192, tv=256,
         if variant.startswith("v6_packed"):
             assert V <= (1 << 13) and R <= (1 << 10) and tv <= 256
             meta[c, 0] = (meta[c, 0] << 18) | (meta[c, 1] << 8) | meta[c, 2]
+        if variant == "v8_direct_packed":
+            assert V <= (1 << 11) and R <= (1 << 10) and tv <= 1024
+            meta[c, 0] = (meta[c, 0] << 20) | (meta[c, 1] << 10) | meta[c, 2]
         cr[0, c] = 0
         cr[1, c] = 0
     cr[1, 0] = 1  # force out-block init on the first chunk
@@ -356,9 +392,13 @@ def main():
     ap.add_argument("--runlen", type=int, default=32)
     ap.add_argument("--variants", type=str, default="v0_current,v1_nobranch,"
                     "v2_noscalar,v3_multiacc4,v4_pure_fma")
+    ap.add_argument("--te", type=int, default=8192)
+    ap.add_argument("--tv", type=int, default=256)
+    ap.add_argument("--vrows", type=int, default=4096)
     args = ap.parse_args()
     for v in args.variants.split(","):
-        ms, cyc = run_variant(v, args.edges, args.runlen)
+        ms, cyc = run_variant(v, args.edges, args.runlen, te=args.te,
+                              tv=args.tv, V=args.vrows)
         print(f"{v:14s} {ms:8.2f} ms  {cyc:6.1f} cyc/edge", flush=True)
 
 

@@ -536,3 +536,39 @@ def test_blocked_auto_heuristic(rng):
     off = build_rspmm_layouts(ei, et, 37, 6, tile_rows=16, tile_edges=32,
                               blocked=False)
     assert off.fwd_blk is None and off.rev_blk is None
+
+
+def test_pallas_blocked_unpacked_fallback(rng, monkeypatch):
+    """When the packed-metadata bounds don't fit (huge R, big blocks), the
+    direct-RMW blocked kernels fall back to 3-word metadata decode — same
+    results."""
+    import ultra_torchdrug_tpu.ops.rspmm_pallas as rp
+
+    monkeypatch.setattr(rp, "_packed_ok", lambda *a: False)
+    ei, et, w, rel, rel_b, x, _ = make_graph(rng, V=37, E=400)
+    V = x.shape[0]
+    layouts = build_rspmm_layouts(ei, et, V, 6, tile_rows=16, tile_edges=32,
+                                  include_rel_layout=True,
+                                  blocked=True, block_rows=16)
+    args = (jnp.asarray(ei), jnp.asarray(et), jnp.asarray(w),
+            jnp.asarray(rel_b), jnp.asarray(x))
+    want = generalized_rspmm(*args, msg="mul", agg="add", num_nodes=V,
+                             impl="xla")
+    got = generalized_rspmm(*args, msg="mul", agg="add", num_nodes=V,
+                            impl="pallas", layouts=layouts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(impl, lay):
+        def f(r, xx):
+            out = generalized_rspmm(args[0], args[1], args[2], r, xx,
+                                    msg="mul", agg="add", num_nodes=V,
+                                    impl=impl, layouts=lay)
+            return jnp.sum(out * jnp.sin(out))
+        return f
+
+    g_xla = jax.grad(loss("xla", None), argnums=(0, 1))(args[3], args[4])
+    g_blk = jax.grad(loss("pallas", layouts), argnums=(0, 1))(args[3], args[4])
+    for a, b in zip(g_xla, g_blk):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)

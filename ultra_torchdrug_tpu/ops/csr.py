@@ -234,6 +234,27 @@ def build_blocked_layout(
     chunk_rt = (chunk_bucket // nb).astype(np.int32)
     chunk_sb = (chunk_bucket % nb).astype(np.int32)
 
+    # manual bucket-lookahead prefetch schedule: the kernel double-buffers
+    # streamed source blocks itself, issuing the NEXT bucket's block DMA at
+    # the FIRST chunk of the current bucket — a whole bucket of compute
+    # (~5 chunks) hides the fetch where BlockSpec pipelining's one-chunk
+    # lookahead stalls at every bucket boundary.
+    #   row 3: 1 on the first chunk of each bucket
+    #   row 4: bucket ordinal parity (which of the two block buffers)
+    #   row 5: source block of the NEXT bucket (self for the last bucket)
+    #   row 6: 1 if a next bucket exists
+    first = np.ones(C, np.int32)
+    first[1:] = (chunk_bucket[1:] != chunk_bucket[:-1]).astype(np.int32)
+    bidx = np.cumsum(first) - 1
+    parity = (bidx % 2).astype(np.int32)
+    fpos = np.flatnonzero(first)  # first chunk of each bucket
+    bucket_blk = chunk_sb[fpos]  # block of bucket j
+    nxt_blk_b = np.concatenate([bucket_blk[1:], bucket_blk[-1:]])
+    has_nxt_b = np.zeros(len(fpos), np.int32)
+    has_nxt_b[:-1] = 1
+    nxt_blk = nxt_blk_b[bidx].astype(np.int32)
+    has_nxt = has_nxt_b[bidx].astype(np.int32)
+
     Cp = ((C + 7) // 8) * 8
 
     def to_chunks(a, fill=0):
@@ -241,12 +262,24 @@ def build_blocked_layout(
         out[:C] = a.reshape(C, tile_edges)
         return out
 
-    cr = np.full(Cp, chunk_rt[-1] if C else 0, np.int32)
-    cr[:C] = chunk_rt
-    csb = np.full(Cp, chunk_sb[-1] if C else 0, np.int32)
-    csb[:C] = chunk_sb
+    def pad_c(a, fill):
+        out = np.full(Cp, fill, np.int32)
+        out[:C] = a
+        return out
+
+    cr = pad_c(chunk_rt, chunk_rt[-1] if C else 0)
+    csb = pad_c(chunk_sb, chunk_sb[-1] if C else 0)
     cr_pairs = np.stack(
-        [cr, np.concatenate([[-1], cr[:-1]]), csb], 0
+        [
+            cr,
+            np.concatenate([[-1], cr[:-1]]),
+            csb,
+            pad_c(first, 0),  # padding chunks never start/wait DMAs
+            pad_c(parity, parity[-1] if C else 0),
+            pad_c(nxt_blk, 0),
+            pad_c(has_nxt, 0),
+        ],
+        0,
     ).astype(np.int32)
     return CsrLayout(
         gather1=to_chunks(g1),
@@ -362,6 +395,7 @@ def build_rspmm_layouts(
     blocked="auto",
     block_rows: int = 1024,
     bwd_block_rows: int = None,
+    blocked_tile_edges: int = None,
 ) -> RspmmLayouts:
     """hot_rows > 0 splits forward edges by source hotness: the hot_rows
     highest-out-degree sources' rows live in VMEM during the forward kernel
@@ -385,11 +419,15 @@ def build_rspmm_layouts(
         blocked = blocked_wins(num_nodes, len(src), tile_rows=block_rows)
     if bwd_block_rows is None:
         bwd_block_rows = max(block_rows // 2, min(block_rows, 256))
+    # blocked chunks default 2x the DMA layouts': no per-edge DMA pipeline to
+    # keep fed, so larger chunks just amortize per-chunk costs (meta DMA wait,
+    # loop prologue) — measured -2 ms on the fused backward at the bench shape
+    bte = blocked_tile_edges or 2 * tile_edges
     fwd_blk = rev_blk = None
     if blocked:
         fwd_blk = build_blocked_layout(
             dst, src, edge_type, num_nodes, num_nodes,
-            block_rows=block_rows, tile_rows=block_rows, tile_edges=tile_edges,
+            block_rows=block_rows, tile_rows=block_rows, tile_edges=bte,
         )
         # bwd: FULL-size output (dx/x) tiles — streaming traffic scales with
         # V^2/tile_rows, so shrinking only the streamed-g block (not the dx
@@ -398,7 +436,7 @@ def build_rspmm_layouts(
         rev_blk = build_blocked_layout(
             src, dst, edge_type, num_nodes, num_nodes,
             block_rows=bwd_block_rows, tile_rows=block_rows,
-            tile_edges=tile_edges,
+            tile_edges=bte,
         )
     rel_layout = None
     if include_rel_layout:

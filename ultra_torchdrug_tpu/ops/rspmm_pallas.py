@@ -264,8 +264,10 @@ def _kernel_one_gather(
 
 def _kernel_one_gather_vmem(
     cr_ref, meta_hbm, w_hbm, data_ref, *rest, mode: str, num_chunks: int,
-    agg: str = "add",
+    agg: str = "add", packed: bool = False, manual_stream: bool = False,
 ):
+    if manual_stream:
+        *rest, xblk, xsems = rest
     if mode == "none":
         out_ref, mbuf, wbuf, msems, wsems, mark_ref = rest
         rel_ref = None
@@ -297,6 +299,15 @@ def _kernel_one_gather_vmem(
         md2.start()
         wd2.start()
 
+    if manual_stream:
+        bslot = _stream_preamble(cr_ref, data_ref, xblk, xsems, c)
+
+        def read(idx):
+            return xblk[bslot, idx]
+    else:
+        def read(idx):
+            return data_ref[idx]
+
     te = mbuf.shape[-1]
 
     if agg == "add":
@@ -310,9 +321,9 @@ def _kernel_one_gather_vmem(
             accs = list(accs)
             for j in range(NACC):
                 i = q * NACC + j
-                xrow = data_ref[mbuf[slot, 0, i]]
+                gi, ai, d = _decode_meta(mbuf, slot, i, packed)
+                xrow = read(gi)
                 w = wbuf[slot, 0, i]
-                d = mbuf[slot, 2, i]
                 flush = d != d_prev
 
                 @pl.when(flush)
@@ -327,9 +338,9 @@ def _kernel_one_gather_vmem(
                     mark_ref[...] = total
 
                 if mode == "mul_rel":
-                    msg = rel_ref[mbuf[slot, 1, i]] * xrow
+                    msg = rel_ref[ai] * xrow
                 elif mode == "add_rel":
-                    msg = rel_ref[mbuf[slot, 1, i]] + xrow
+                    msg = rel_ref[ai] + xrow
                 else:
                     msg = xrow
                 accs[j] = accs[j] + msg.astype(jnp.float32) * w
@@ -350,17 +361,17 @@ def _kernel_one_gather_vmem(
 
     def body(i, carry):
         d_prev, acc = carry
-        xrow = data_ref[mbuf[slot, 0, i]]
+        gi, ai, d = _decode_meta(mbuf, slot, i, packed)
+        xrow = read(gi)
         w = wbuf[slot, 0, i]
         if mode == "mul_rel":
-            msg = rel_ref[mbuf[slot, 1, i]] * xrow
+            msg = rel_ref[ai] * xrow
         elif mode == "add_rel":
-            msg = rel_ref[mbuf[slot, 1, i]] + xrow
+            msg = rel_ref[ai] + xrow
         else:
             msg = xrow
         msg = msg.astype(jnp.float32) * w
         msg = jnp.where(mbuf[slot, 3, i] != 0, msg, neutral)
-        d = mbuf[slot, 2, i]
         flush = d != d_prev
 
         @pl.when(flush)
@@ -380,9 +391,12 @@ def _kernel_one_gather_vmem(
 
 def _kernel_bwd_fused_vmem(
     cr_ref, meta_hbm, w_hbm, g_ref, rel_ref, x_ref, dx_ref, dr_ref,
-    mbuf, wbuf, msems, wsems, mark_ref, xrow_ref, *, mode: str, num_chunks: int
+    mbuf, wbuf, msems, wsems, mark_ref, xrow_ref, *rest, mode: str,
+    num_chunks: int, packed: bool = False, manual_stream: bool = False,
 ):
     assert mode == "mul", "fused backward covers distmult only (transe rides gather1)"
+    if manual_stream:
+        gblk, gsems = rest
     c = pl.program_id(0)
     slot = jax.lax.rem(c, 2)
     nxt = jax.lax.rem(c + 1, 2)
@@ -408,6 +422,15 @@ def _kernel_bwd_fused_vmem(
         md2.start()
         wd2.start()
 
+    if manual_stream:
+        bslot = _stream_preamble(cr_ref, g_ref, gblk, gsems, c)
+
+        def read(idx):
+            return gblk[bslot, idx]
+    else:
+        def read(idx):
+            return g_ref[idx]
+
     te = mbuf.shape[-1]
 
     # multi-accumulator telescoping dx (see _kernel_one_gather): all
@@ -421,10 +444,9 @@ def _kernel_bwd_fused_vmem(
         accs = list(accs)
         for j in range(NACC):
             i = q * NACC + j
-            grow = g_ref[mbuf[slot, 0, i]]
+            gi, r, d = _decode_meta(mbuf, slot, i, packed)
+            grow = read(gi)
             w = wbuf[slot, 0, i]
-            r = mbuf[slot, 1, i]
-            d = mbuf[slot, 2, i]
             flush = d != d_prev
 
             @pl.when(flush)
@@ -458,6 +480,63 @@ def _kernel_bwd_fused_vmem(
     dx_ref[pl.ds(d_last, 1)] = (
         dx_ref[pl.ds(d_last, 1)] + (total - mark_ref[...])[None]
     )
+
+
+# ---------------------------------------------------------------------------
+# blocked-layout kernel options, with measured outcomes (bench workload,
+# te=512, tv=1024, kernel_floor + in-situ):
+#   * packed metadata: one SMEM load per edge (gather << 21 | aux << 10 |
+#     row_local) instead of three — kernel_floor v6/v8 measured -1.1 cyc/edge.
+#     Enabled whenever the static bounds fit (block_rows/tile_rows <= 1024,
+#     relation rows < 2048; max packed value is exactly 2^31 - 1).
+#   * direct per-edge RMW (no flush branch / telescoping) looked better on
+#     the synthetic uniform-runlen floor (v7/v8 16.9-18.0 cyc/edge vs
+#     v3_multiacc8 21.2 at runlen 2) but LOST in situ (fwd 19.2 ms vs 18.5,
+#     bwd 20.4 vs 18.4): real KG destinations are hub-dominated, so most
+#     EDGES sit in long same-destination runs where telescoping amortizes to
+#     ~0 while back-to-back same-row RMW serializes on a true dependency.
+#     The telescoping bodies below therefore stay; direct variants live only
+#     in script/diagnostics/kernel_floor.py.
+#   * manual bucket-lookahead streaming: the blocked layouts' source blocks
+#     are double-buffered by the kernel itself (schedule precomputed in
+#     cr_pairs rows 3-6) — the next bucket's block DMA is issued a whole
+#     bucket (~5 chunks) ahead, where BlockSpec pipelining's one-chunk
+#     lookahead left ~half the stream unhidden at bucket boundaries.
+# ---------------------------------------------------------------------------
+
+
+def _decode_meta(mbuf, slot, i, packed: bool):
+    if packed:
+        m = mbuf[slot, 0, i]
+        return m >> 21, (m >> 10) & 2047, m & 1023
+    return mbuf[slot, 0, i], mbuf[slot, 1, i], mbuf[slot, 2, i]
+
+
+def _stream_preamble(cr_ref, data_hbm, xblk, xsems, c):
+    """Issue/wait the manual block-stream DMAs for this chunk (see schedule
+    rows above). Returns the buffer slot holding this bucket's block."""
+    bslot = cr_ref[4, c]
+
+    @pl.when(cr_ref[3, c] == 1)
+    def _():
+        @pl.when(c == 0)
+        def _():
+            pltpu.make_async_copy(
+                data_hbm.at[cr_ref[2, c]], xblk.at[bslot], xsems.at[bslot]
+            ).start()
+
+        @pl.when(cr_ref[6, c] == 1)
+        def _():
+            pltpu.make_async_copy(
+                data_hbm.at[cr_ref[5, c]], xblk.at[1 - bslot],
+                xsems.at[1 - bslot],
+            ).start()
+
+        pltpu.make_async_copy(
+            data_hbm.at[cr_ref[2, c]], xblk.at[bslot], xsems.at[bslot]
+        ).wait()
+
+    return bslot
 
 
 # ---------------------------------------------------------------------------
@@ -784,6 +863,24 @@ def _feature_tiles(F_pad: int, rel_rows: int, layout: CsrLayout) -> int:
     return min(F_pad, tf)
 
 
+def _pack_meta_packed(layout: CsrLayout, index_chunks, second):
+    """Single-word metadata for the direct-RMW blocked kernels:
+    gather << 21 | aux << 10 | row_local (one SMEM load per edge instead of
+    three). Caller checks the static bounds: gather < 1024 (block-local),
+    aux < 2048, row_local < 1024. Max value is exactly 2^31 - 1 — no sign
+    overflow. Rows 1-3 keep the unpacked fields (same [C, 4, TE] DMA shape)."""
+    packed = (index_chunks << 21) | (second << 10) | layout.row_local
+    return jnp.stack(
+        [packed, second, layout.row_local, layout.valid.astype(jnp.int32)],
+        axis=1,
+    )
+
+
+def _packed_ok(layout: CsrLayout, rel_rows: int) -> bool:
+    return (0 < layout.block_rows <= 1024 and layout.tile_rows <= 1024
+            and rel_rows < 2048)
+
+
 def _pack_meta(layout: CsrLayout, index_chunks, second):
     """[C, 4, TE] int32: (gather index, aux/second index, row offset, valid).
     4 rows because i32 HBM slices must align to the sublane tiling; the valid
@@ -841,13 +938,18 @@ def rspmm_gather1(
     data_vmem = (not blocked and
                  (v_pad + rel_rows + 2 * tv + 16) * tf * 4 <= _VMEM_DATA_BUDGET)
     if blocked:
-        # blocked-source streaming (build_blocked_layout): each chunk's
-        # source block arrives as one pipelined BlockSpec fetch; gathers are
-        # VMEM reads — the same kernel body as the resident variant
+        # blocked-source streaming (build_blocked_layout): gathers read a
+        # VMEM-resident source block, double-buffered by the kernel itself a
+        # whole bucket ahead (_stream_preamble); metadata is packed to one
+        # SMEM word per edge when the bounds fit
+        packed = _packed_ok(layout, rel_rows)
         kernel = functools.partial(
-            _kernel_one_gather_vmem, mode=mode, num_chunks=layout.num_chunks,
-            agg=agg,
+            _kernel_one_gather_vmem, mode=mode,
+            num_chunks=layout.num_chunks, agg=agg, packed=packed,
+            manual_stream=True,
         )
+        if packed:
+            meta = _pack_meta_packed(layout, index_chunks, layout.aux)
         vg = layout.padded_gather_rows
         if data.shape[0] < vg:
             data = jnp.pad(data, ((0, vg - data.shape[0]), (0, 0)))
@@ -872,12 +974,12 @@ def rspmm_gather1(
         fw = min(tf, F_pad - f0)
         ft = fw // _LANE  # rows carried as [ft, 128] tiles (no sublane padding)
         if blocked:
-            data_f = data[:, f0 : f0 + fw].reshape(-1, ft, _LANE)
-            data_spec = pl.BlockSpec(
-                (layout.block_rows, ft, _LANE),
-                lambda c, cr: (cr[2, c], 0, 0),
-                memory_space=pltpu.VMEM,
+            # [num_blocks, block_rows, ft, lane] in HBM; the kernel streams
+            # whole blocks into its own double buffer (see _stream_preamble)
+            data_f = data[:, f0 : f0 + fw].reshape(
+                -1, layout.block_rows, ft, _LANE
             )
+            data_spec = pl.BlockSpec(memory_space=pl.ANY)
         elif data_vmem:
             data_f = data[:, f0 : f0 + fw].reshape(-1, ft, _LANE)
             data_spec = pl.BlockSpec((v_pad, ft, _LANE), lambda c, cr: (0, 0, 0),
@@ -905,6 +1007,11 @@ def rspmm_gather1(
             ]
         # telescoping mark (agg='add'; allocated but untouched for min/max)
         scratch.append(pltpu.VMEM((ft, _LANE), jnp.float32))
+        if blocked:  # manual block-stream double buffer + its DMA sems
+            scratch += [
+                pltpu.VMEM((2, layout.block_rows, ft, _LANE), xbuf_dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
         if relation is not None:
             in_specs.append(
                 pl.BlockSpec((rel_rows, ft, _LANE), lambda c, cr: (0, 0, 0),
@@ -982,11 +1089,16 @@ def rspmm_bwd_fused(
     g_vmem = (not blocked and
               (vg_pad + 2 * r_pad + 4 * tv + 16) * tf * 4 <= _VMEM_DATA_BUDGET)
     if blocked:
-        # blocked-destination streaming: g blocks arrive via BlockSpec, every
-        # per-edge gather is a VMEM read (same body as the resident variant)
+        # blocked-destination streaming: per-edge g gathers read a VMEM
+        # block the kernel double-buffers a bucket ahead (_stream_preamble);
+        # metadata packed to one SMEM word when the bounds fit
+        packed = _packed_ok(layout, r_pad)
         kernel = functools.partial(
-            _kernel_bwd_fused_vmem, mode="mul", num_chunks=layout.num_chunks
+            _kernel_bwd_fused_vmem, mode="mul",
+            num_chunks=layout.num_chunks, packed=packed, manual_stream=True,
         )
+        if packed:
+            meta = _pack_meta_packed(layout, layout.gather1, layout.aux)
         vg = layout.padded_gather_rows
         if g_flat.shape[0] < vg:
             g_flat = jnp.pad(g_flat, ((0, vg - g_flat.shape[0]), (0, 0)))
@@ -1011,12 +1123,12 @@ def rspmm_bwd_fused(
         fw = min(tf, F_pad - f0)
         ft = fw // _LANE
         if blocked:
-            g_arg = g_flat[:, f0 : f0 + fw].reshape(-1, ft, _LANE)
-            g_spec = pl.BlockSpec(
-                (layout.block_rows, ft, _LANE),
-                lambda c, cr: (cr[2, c], 0, 0),
-                memory_space=pltpu.VMEM,
+            # [num_blocks, block_rows, ft, lane] in HBM; kernel-managed
+            # double buffer (see _stream_preamble)
+            g_arg = g_flat[:, f0 : f0 + fw].reshape(
+                -1, layout.block_rows, ft, _LANE
             )
+            g_spec = pl.BlockSpec(memory_space=pl.ANY)
             scratch = [
                 pltpu.SMEM((2, 4, te), jnp.int32),
                 pltpu.SMEM((2, 1, te), jnp.float32),
@@ -1048,6 +1160,11 @@ def rspmm_bwd_fused(
             pltpu.VMEM((ft, _LANE), jnp.float32),     # telescoping mark
             pltpu.VMEM((ft, _LANE), x_flat.dtype),    # current src x row
         ]
+        if blocked:  # manual g-block double buffer + its DMA sems
+            scratch += [
+                pltpu.VMEM((2, layout.block_rows, ft, _LANE), g_flat.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(layout.num_chunks,),
