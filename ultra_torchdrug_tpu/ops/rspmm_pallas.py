@@ -1379,17 +1379,17 @@ def rspmm_fwd_pallas(layouts, edge_weight, relation, x, *, msg, num_nodes,
         x_flat = _flat(x)
         rel_flat = _rel_flat(relation, B)
     mode = "mul_rel" if msg == "mul" else "add_rel"
-    if getattr(layouts, "fwd_blk", None) is not None:
-        # blocked-source streaming: no per-edge DMAs, no hot split needed
+    if agg == "add" and getattr(layouts, "fwd_blk", None) is not None:
+        # blocked-source streaming: no per-edge DMAs, no hot split needed.
+        # add only — max/min measured SLOWER blocked (78 vs 73 ms at the
+        # bench shape): the extremum body flushes per output row, and the
+        # blocked bucketing shortens same-row runs to ~2 edges where the
+        # dst-sorted DMA layout has ~36
         lay = layouts.fwd_blk
         out = rspmm_gather1(
             x_flat, rel_flat, _weight_chunks(edge_weight, lay), lay,
             lay.gather1, mode=mode, compute_dtype=compute_dtype, agg=agg,
         )
-        if agg == "max":
-            out = jnp.where(out <= -_BIG / 2, 0.0, out)
-        elif agg == "min":
-            out = jnp.where(out >= _BIG / 2, 0.0, out)
         out = out[:num_nodes]
         return out if flat_in else out.reshape(num_nodes, *x.shape[1:])
     out = rspmm_gather1(
