@@ -128,6 +128,23 @@ def main():
     }
     print(f"train fwd+bwd: {t*1e3:.1f} ms", flush=True)
 
+    # the shipped default: remat='auto' picks save_rspmm at FB scale (no
+    # forward recompute in the backward; kernels' outputs saved instead)
+    cfg_s = dataclasses.replace(
+        cfg,
+        entity=dataclasses.replace(cfg.entity, remat="save_rspmm"),
+        relation=dataclasses.replace(cfg.relation, remat="save_rspmm"),
+    )
+    task_s = TransductiveKGTask(ds, cfg_s, TaskConfig(num_negative=128))
+    step_s = jax.jit(jax.value_and_grad(
+        lambda p: task_s._loss_fn(p, key, batch, None)[0]))
+    t = timeit(step_s, params, n=2)
+    results["train_step_fwd_bwd_fb_save_rspmm"] = {
+        "ms": round(t * 1e3, 1), "B": B, "V": int(ds.num_entities),
+        "E_und": int(2 * task.fact_graph.num_edges), "remat": "save_rspmm",
+    }
+    print(f"train fwd+bwd (save_rspmm): {t*1e3:.1f} ms", flush=True)
+
     ev = task._eval_fn
     ebatch = jnp.asarray(task.eval_triples("valid")[:16])
     t = timeit(lambda p: ev(p, ebatch), params, n=2)
