@@ -155,16 +155,20 @@ _CODEX_URL = "https://zenodo.org/record/4281094/files/codex-{s}.tar.gz"
 
 def _codex(size: str, path: str = _DEFAULT_PATH, **_) -> TransductiveDataset:
     root = _cache(path, f"codex-{size}")
-    files = [os.path.join(root, f"{s}.txt") for s in ("train", "valid", "test")]
-    if not all(os.path.exists(f) for f in files):
-        import tarfile
+    # either pre-populated flat files or a previously extracted tarball
+    # (members are codex-{size}/{split}.txt, reference dataset.py:37-39)
+    for base in (root, os.path.join(root, f"codex-{size}")):
+        files = [os.path.join(base, f"{s}.txt") for s in ("train", "valid", "test")]
+        if all(os.path.exists(f) for f in files):
+            return _transductive_from_files(f"CoDEx{size.upper()}", files, "hrt")
+    import tarfile
 
-        tar = _download(_CODEX_URL.format(s=size), os.path.join(root, f"codex-{size}.tar.gz"))
-        with tarfile.open(tar) as tf:
-            tf.extractall(root)
-        inner = os.path.join(root, f"codex-{size}")
-        if os.path.isdir(inner):
-            files = [os.path.join(inner, f"{s}.txt") for s in ("train", "valid", "test")]
+    tar = _download(_CODEX_URL.format(s=size), os.path.join(root, f"codex-{size}.tar.gz"))
+    with tarfile.open(tar) as tf:
+        tf.extractall(root)
+    inner = os.path.join(root, f"codex-{size}")
+    base = inner if os.path.isdir(inner) else root
+    files = [os.path.join(base, f"{s}.txt") for s in ("train", "valid", "test")]
     return _transductive_from_files(f"CoDEx{size.upper()}", files, "hrt")
 
 
