@@ -572,3 +572,137 @@ def test_pallas_blocked_unpacked_fallback(rng, monkeypatch):
     for a, b in zip(g_xla, g_blk):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("per_batch_rel", [False, True])
+def test_pallas_rotate_matches_xla(rng, per_batch_rel):
+    """RotatE message through the blocked kernels (planar re/im rows):
+    forward and gradients match the XLA segment-op rotate — which is itself
+    cross-checked against the O(E) conv-layer formulation elsewhere. The
+    reference has no kernel for rotate at all (O(E) fallback,
+    reference layer.py:112-113) — this path is beyond-parity."""
+    ei, et, w, _, _, _, _ = make_graph(rng, V=37, E=400)
+    V, B, D, R = 37, 3, 8, 6
+    x = rng.normal(size=(V, B, D)).astype(np.float32)
+    rel = rng.normal(size=(R, D)).astype(np.float32)
+    rel_b = rng.normal(size=(R, B, D)).astype(np.float32)
+    layouts = build_rspmm_layouts(ei, et, V, R, tile_rows=16, tile_edges=32,
+                                  blocked=True, block_rows=16)
+    keep = (rng.uniform(size=w.shape) > 0.3).astype(np.float32)
+    relation = jnp.asarray(rel_b if per_batch_rel else rel)
+    args = (jnp.asarray(ei), jnp.asarray(et), jnp.asarray(w * keep),
+            relation, jnp.asarray(x))
+    want = generalized_rspmm(*args, msg="rotate", agg="add", num_nodes=V,
+                             impl="xla")
+    got = generalized_rspmm(*args, msg="rotate", agg="add", num_nodes=V,
+                            impl="pallas", layouts=layouts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(impl, lay):
+        def f(r, xx):
+            out = generalized_rspmm(args[0], args[1], args[2], r, xx,
+                                    msg="rotate", agg="add", num_nodes=V,
+                                    impl=impl, layouts=lay)
+            return jnp.sum(out * jnp.sin(out))
+        return f
+
+    g_xla = jax.grad(loss("xla", None), argnums=(0, 1))(args[3], args[4])
+    g_pal = jax.grad(loss("pallas", layouts), argnums=(0, 1))(args[3], args[4])
+    for a, b in zip(g_xla, g_pal):
+        # rotate does 2x the f32 flops per message: a little more summation-
+        # order noise than the distmult kernels' 1e-4 budget
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=6e-4, atol=6e-4)
+
+
+def test_rotate_xla_matches_edge_materialization(rng):
+    """The custom-VJP XLA rotate (segment ops, message-free backward) agrees
+    with the independent O(E) conv-layer formulation — forward and grads."""
+    from ultra_torchdrug_tpu.models.layers import _rotate_messages_aggregate
+
+    V, E, R, B, D = 30, 200, 5, 2, 6
+    tri = np.stack([rng.integers(0, V, E), rng.integers(0, V, E),
+                    rng.integers(0, R, E)], 1).astype(np.int32)
+    g = Graph.from_triplets(tri, V, R)
+    x = jnp.asarray(rng.normal(size=(V, B, D)).astype(np.float32))
+    rel = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+
+    def via_rspmm(r, xx):
+        out = generalized_rspmm(g.edge_index, g.edge_type, g.edge_weight,
+                                r, xx, msg="rotate", agg="add", num_nodes=V,
+                                impl="xla")
+        return jnp.sum(out * jnp.sin(out)), out
+
+    def via_edges(r, xx):
+        out = _rotate_messages_aggregate(g, r, xx, "add")
+        return jnp.sum(out * jnp.sin(out)), out
+
+    (l1, o1), g1 = jax.value_and_grad(via_rspmm, argnums=(0, 1),
+                                      has_aux=True)(rel, x)
+    (l2, o2), g2 = jax.value_and_grad(via_edges, argnums=(0, 1),
+                                      has_aux=True)(rel, x)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(g2, g1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_rotate_conv_layer_through_pallas(rng):
+    """message_func=rotate, sum aggregation through the conv layer: the
+    blocked-kernel fast path matches the XLA layer end to end (fwd + grads)."""
+    from ultra_torchdrug_tpu.models.layers import ConvConfig, conv_apply, conv_init
+
+    V, E, R, B, D = 30, 200, 4, 3, 8
+    tri = np.unique(np.stack([
+        rng.integers(0, V, E), rng.integers(0, V, E), rng.integers(0, R, E)
+    ], 1), axis=0).astype(np.int32)
+    g = Graph.from_triplets(tri, V, R)
+    g_p = g.prepare_pallas(tile_rows=16, tile_edges=32, blocked=True,
+                           block_rows=16)
+    assert g_p.layouts.fwd_blk is not None
+
+    def cfg(impl):
+        return ConvConfig(
+            input_dim=D, output_dim=D, num_relations=R, query_input_dim=D,
+            message_func="rotate", aggregate_func="sum", layer_norm=True,
+            rel_mode="injected", project=True, rspmm_impl=impl,
+        )
+
+    params = conv_init(jax.random.PRNGKey(2), cfg("xla"))
+    x = jnp.asarray(rng.normal(size=(V, B, D)).astype(np.float32))
+    bnd = jnp.asarray(rng.normal(size=(V, B, D)).astype(np.float32))
+    rel = jnp.asarray(rng.normal(size=(B, R, D)).astype(np.float32))
+
+    want = conv_apply(params, cfg("xla"), g, x, bnd, rel_injected=rel)
+    got = conv_apply(params, cfg("pallas"), g_p, x, bnd, rel_injected=rel)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(impl, graph):
+        def f(p, xx, rr):
+            out = conv_apply(p, cfg(impl), graph, xx, bnd, rel_injected=rr)
+            return jnp.sum(out * jnp.sin(out))
+        return f
+
+    g_xla = jax.grad(loss("xla", g), argnums=(0, 1, 2))(params, x, rel)
+    g_pal = jax.grad(loss("pallas", g_p), argnums=(0, 1, 2))(params, x, rel)
+    for a, b in zip(jax.tree_util.tree_leaves(g_xla),
+                    jax.tree_util.tree_leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_rotate_rejects_flat_and_odd_dims(rng):
+    ei, et, w, rel, _, x, layouts = make_graph(rng)
+    V = x.shape[0]
+    with pytest.raises(ValueError, match="rotate needs"):
+        generalized_rspmm(jnp.asarray(ei), jnp.asarray(et), jnp.asarray(w),
+                          jnp.asarray(rel).reshape(6, -1),
+                          jnp.asarray(x).reshape(V, -1),
+                          msg="rotate", agg="add", num_nodes=V, impl="xla")
+    with pytest.raises(ValueError, match="even D"):
+        generalized_rspmm(jnp.asarray(ei), jnp.asarray(et), jnp.asarray(w),
+                          jnp.asarray(rel), jnp.asarray(x),
+                          msg="rotate", agg="add", num_nodes=V, impl="xla")

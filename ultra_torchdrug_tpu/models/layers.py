@@ -220,6 +220,23 @@ def conv_apply(
         """xx: flat [Vrows, B*D]; returns flat [Vrows, B*D]."""
         if cfg.message_func == "rotate":
             assert agg in ("add", "max", "min", "sq_add")
+            impl = cfg.rspmm_impl
+            if impl == "ring":
+                impl = "pallas" if graph.layouts is not None else "xla"
+            if (agg == "add" and impl == "pallas" and not edge_grad
+                    and not cfg.edge_axis and graph.layouts is not None
+                    and graph.layouts.fwd_blk is not None):
+                # BEYOND the reference: its rotate always materializes
+                # O(E*F) messages (layer.py:112-113); sum-aggregated rotate
+                # rides the blocked streamed kernels here (complex multiply
+                # over planar re/im rows). sq_add/max/min keep the O(E) path.
+                out = generalized_rspmm(
+                    graph.edge_index, graph.edge_type, graph.edge_weight,
+                    relation, xx.reshape(xx.shape[0], B, D),
+                    msg="rotate", agg="add", num_nodes=graph.num_nodes,
+                    impl="pallas", layouts=graph.layouts,
+                )
+                return out.reshape(out.shape[0], -1)
             out = _rotate_messages_aggregate(
                 graph, relation, xx.reshape(xx.shape[0], B, D), agg
             )

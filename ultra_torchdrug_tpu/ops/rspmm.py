@@ -43,7 +43,7 @@ import jax.numpy as jnp
 
 __all__ = ["generalized_rspmm"]
 
-_MSG_FUNCS = ("mul", "add")
+_MSG_FUNCS = ("mul", "add", "rotate")
 _AGG_FUNCS = ("add", "max", "min")
 
 
@@ -61,6 +61,16 @@ def _messages(edge_index, edge_type, edge_weight, relation, x, msg):
         m = rel_e * x_e
     elif msg == "add":
         m = rel_e + x_e
+    elif msg in ("rotate", "rotate_conj"):
+        # RotatE complex multiply: D blocks store re in [:D/2], im in [D/2:]
+        # (reference layer.py:75-80); rotate_conj (internal, the backward's
+        # d_input message) conjugates the relation
+        d2 = x_e.shape[-1] // 2
+        xr, xi = x_e[..., :d2], x_e[..., d2:]
+        rr, ri = rel_e[..., :d2], rel_e[..., d2:]
+        if msg == "rotate_conj":
+            ri = -ri
+        m = jnp.concatenate([rr * xr - ri * xi, rr * xi + xr * ri], axis=-1)
     elif msg == "none":  # internal: backward of transe w.r.t. input
         m = jnp.broadcast_to(x_e, jnp.broadcast_shapes(rel_e.shape, x_e.shape))
     else:
@@ -91,12 +101,23 @@ def _rspmm_xla(edge_index, edge_type, edge_weight, relation, x, *, msg, agg, num
 def _xla_bwd(edge_index, edge_type, edge_weight, relation, x, g, *, msg):
     """(d_relation, d_input) via segment ops."""
     rev = edge_index[:, ::-1]
+    bwd_msg = {"mul": "mul", "add": "none", "rotate": "rotate_conj"}[msg]
     dx = _rspmm_xla(
         rev, edge_type, edge_weight, relation, g,
-        msg="mul" if msg == "mul" else "none", agg="add", num_nodes=x.shape[0],
+        msg=bwd_msg, agg="add", num_nodes=x.shape[0],
     )
     src, dst = edge_index[:, 0], edge_index[:, 1]
-    dr_e = x[src] * g[dst] if msg == "mul" else g[dst]
+    if msg == "rotate":
+        # d_rel = conj(x) (x) g per edge
+        x_e, g_e = x[src], g[dst]
+        if x_e.ndim < g_e.ndim:
+            x_e = x_e[:, None, :]
+        d2 = x_e.shape[-1] // 2
+        xr, xi = x_e[..., :d2], x_e[..., d2:]
+        gr, gi = g_e[..., :d2], g_e[..., d2:]
+        dr_e = jnp.concatenate([xr * gr + xi * gi, xr * gi - xi * gr], axis=-1)
+    else:
+        dr_e = x[src] * g[dst] if msg == "mul" else g[dst]
     w = edge_weight.reshape((-1,) + (1,) * (dr_e.ndim - 1))
     dr = jax.ops.segment_sum(dr_e * w, edge_type, num_segments=relation.shape[0])
     if relation.ndim < dr.ndim:  # shared relation: sum over batch dim
@@ -119,8 +140,15 @@ def _make_rspmm_add(msg: str, num_nodes: int, impl: str, compute_dtype: str = "f
     edge_weight is constant here (edge gradients go through the plain autodiff
     path used by path visualization)."""
 
+    def _pallas_ok(layouts):
+        if impl != "pallas" or layouts is None:
+            return False
+        if msg == "rotate":  # rotate rides the blocked layouts only
+            return getattr(layouts, "fwd_blk", None) is not None
+        return True
+
     def fwd_impl(edge_index, edge_type, edge_weight, relation, x, layouts):
-        if impl == "pallas" and layouts is not None:
+        if _pallas_ok(layouts):
             from .rspmm_pallas import rspmm_fwd_pallas
 
             return rspmm_fwd_pallas(
@@ -142,7 +170,7 @@ def _make_rspmm_add(msg: str, num_nodes: int, impl: str, compute_dtype: str = "f
 
     def rspmm_bwd(res, g):
         edge_index, edge_type, edge_weight, relation, x, layouts = res
-        if impl == "pallas" and layouts is not None:
+        if _pallas_ok(layouts):
             from .rspmm_pallas import rspmm_bwd_pallas
 
             dr, dx = rspmm_bwd_pallas(
@@ -233,11 +261,14 @@ def generalized_rspmm(
         raise ValueError(f"msg must be one of {_MSG_FUNCS}, got {msg!r}")
     if agg not in _AGG_FUNCS:
         raise ValueError(f"agg must be one of {_AGG_FUNCS}, got {agg!r}")
+    if msg == "rotate" and (x.ndim != 3 or x.shape[-1] % 2):
+        raise ValueError("rotate needs [V, B, D] inputs with even D "
+                         "(D blocks store re in [:D/2], im in [D/2:])")
     if agg == "add" and not edge_grad:
         fn = _make_rspmm_add(msg, int(num_nodes), impl, compute_dtype)
         return fn(edge_index, edge_type, edge_weight, relation, x, layouts)
     if (agg in ("max", "min") and not edge_grad and impl == "pallas"
-            and layouts is not None):
+            and layouts is not None and msg != "rotate"):
         fn = _make_rspmm_minmax(msg, agg, int(num_nodes))
         return fn(edge_weight, relation, x, layouts)
     return _rspmm_xla(

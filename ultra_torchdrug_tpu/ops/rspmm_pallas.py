@@ -341,6 +341,10 @@ def _kernel_one_gather_vmem(
                     msg = rel_ref[ai] * xrow
                 elif mode == "add_rel":
                     msg = rel_ref[ai] + xrow
+                elif mode == "rot_rel":
+                    # planar complex multiply: rows carry [re | im] halves
+                    # (see _planarize); fh = half the feature tiles
+                    msg = _cplx_mul(rel_ref[ai], xrow)
                 else:
                     msg = xrow
                 accs[j] = accs[j] + msg.astype(jnp.float32) * w
@@ -368,6 +372,8 @@ def _kernel_one_gather_vmem(
             msg = rel_ref[ai] * xrow
         elif mode == "add_rel":
             msg = rel_ref[ai] + xrow
+        elif mode == "rot_rel":
+            msg = _cplx_mul(rel_ref[ai], xrow)
         else:
             msg = xrow
         msg = msg.astype(jnp.float32) * w
@@ -394,7 +400,9 @@ def _kernel_bwd_fused_vmem(
     mbuf, wbuf, msems, wsems, mark_ref, xrow_ref, *rest, mode: str,
     num_chunks: int, packed: bool = False, manual_stream: bool = False,
 ):
-    assert mode == "mul", "fused backward covers distmult only (transe rides gather1)"
+    assert mode in ("mul", "rotate"), (
+        "fused backward covers distmult/rotate (transe rides gather1)"
+    )
     if manual_stream:
         gblk, gsems = rest
     c = pl.program_id(0)
@@ -460,11 +468,15 @@ def _kernel_bwd_fused_vmem(
                 mark_ref[...] = total
                 xrow_ref[...] = x_ref[d]
 
-            # mode is always "mul" here (asserted in the template body):
             # transe's d_input/d_relation ride the gather1 path instead
             gw = grow.astype(jnp.float32) * w
-            dx_msg = rel_ref[r].astype(jnp.float32) * gw
-            dr_msg = xrow_ref[...].astype(jnp.float32) * gw
+            if mode == "rotate":
+                # dx = conj(rel) (x) g ; dr = conj(x) (x) g
+                dx_msg = _cplx_conj_mul(rel_ref[r].astype(jnp.float32), gw)
+                dr_msg = _cplx_conj_mul(xrow_ref[...].astype(jnp.float32), gw)
+            else:
+                dx_msg = rel_ref[r].astype(jnp.float32) * gw
+                dr_msg = xrow_ref[...].astype(jnp.float32) * gw
             accs[j] = accs[j] + dx_msg
             dr_ref[pl.ds(r, 1)] = dr_ref[pl.ds(r, 1)] + dr_msg[None]
             d_prev = d
@@ -510,6 +522,24 @@ def _decode_meta(mbuf, slot, i, packed: bool):
         m = mbuf[slot, 0, i]
         return m >> 21, (m >> 10) & 2047, m & 1023
     return mbuf[slot, 0, i], mbuf[slot, 1, i], mbuf[slot, 2, i]
+
+
+def _cplx_mul(a, b):
+    """Complex multiply over PLANAR rows: the first half of a row's feature
+    tiles is the real plane, the second half imaginary (_planarize). Rows
+    must be covered by ONE feature pass so the halves stay together."""
+    fh = a.shape[0] // 2
+    ar, ai = a[:fh], a[fh:]
+    br, bi = b[:fh], b[fh:]
+    return jnp.concatenate([ar * br - ai * bi, ar * bi + ai * br], axis=0)
+
+
+def _cplx_conj_mul(a, b):
+    """conj(a) * b over planar rows (the rotate backward's message)."""
+    fh = a.shape[0] // 2
+    ar, ai = a[:fh], a[fh:]
+    br, bi = b[:fh], b[fh:]
+    return jnp.concatenate([ar * br + ai * bi, ar * bi - ai * br], axis=0)
 
 
 def _stream_preamble(cr_ref, data_hbm, xblk, xsems, c):
@@ -957,7 +987,15 @@ def rspmm_gather1(
         per_f = rel_rows + 2 * tv + 2 * layout.block_rows + 16
         tf = max(_LANE, ((80 * 1024 * 1024 // 4) // per_f) // _LANE * _LANE)
         tf = min(F_pad, tf)
+        if mode == "rot_rel" and tf < F_pad:
+            raise ValueError(
+                f"rotate needs one feature pass to keep the planar re/im "
+                f"halves together: F={F_pad} exceeds the {tf}-wide VMEM "
+                f"budget at block_rows={layout.block_rows}"
+            )
     elif data_vmem:
+        if mode == "rot_rel":
+            raise ValueError("rotate rides the blocked layouts only")
         kernel = functools.partial(
             _kernel_one_gather_vmem, mode=mode, num_chunks=layout.num_chunks,
             agg=agg,
@@ -965,6 +1003,8 @@ def rspmm_gather1(
         if v_pad != V:
             data = jnp.pad(data, ((0, v_pad - V), (0, 0)))
     else:
+        if mode == "rot_rel":
+            raise ValueError("rotate rides the blocked layouts only")
         kernel = functools.partial(
             _kernel_one_gather, mode=mode, num_chunks=layout.num_chunks,
             agg=agg,
@@ -1052,8 +1092,10 @@ def rspmm_bwd_fused(
     layout: CsrLayout,
     interpret: Optional[bool] = None,
     compute_dtype=jnp.float32,
+    mode: str = "mul",
 ):
-    """Fused distmult backward over the src-sorted layout.
+    """Fused distmult (mode='mul') or rotate (mode='rotate', planar rows)
+    backward over the src-sorted layout.
     Returns (dx [padded_rows, F], dr [R_pad, F]) in float32."""
     interpret = _interpret_default() if interpret is None else interpret
     x_flat = x_flat.astype(compute_dtype)
@@ -1094,7 +1136,7 @@ def rspmm_bwd_fused(
         # metadata packed to one SMEM word when the bounds fit
         packed = _packed_ok(layout, r_pad)
         kernel = functools.partial(
-            _kernel_bwd_fused_vmem, mode="mul",
+            _kernel_bwd_fused_vmem, mode=mode,
             num_chunks=layout.num_chunks, packed=packed, manual_stream=True,
         )
         if packed:
@@ -1108,13 +1150,22 @@ def rspmm_bwd_fused(
         per_f = 2 * r_pad + 4 * tv + 2 * layout.block_rows + 16
         tf = max(_LANE, ((96 * 1024 * 1024 // 4) // per_f) // _LANE * _LANE)
         tf = min(F_pad, tf)
+        if mode == "rotate" and tf < F_pad:
+            raise ValueError(
+                f"rotate backward needs one feature pass: F={F_pad} exceeds "
+                f"the {tf}-wide VMEM budget"
+            )
     elif g_vmem:
+        if mode == "rotate":
+            raise ValueError("rotate rides the blocked layouts only")
         kernel = functools.partial(
             _kernel_bwd_fused_vmem, mode="mul", num_chunks=layout.num_chunks
         )
         if vg_pad != Vg:
             g_flat = jnp.pad(g_flat, ((0, vg_pad - Vg), (0, 0)))
     else:
+        if mode == "rotate":
+            raise ValueError("rotate rides the blocked layouts only")
         kernel = functools.partial(
             _kernel_bwd_fused, mode="mul", num_chunks=layout.num_chunks
         )
@@ -1367,8 +1418,78 @@ def _weight_chunks(edge_weight, layout: CsrLayout):
     return edge_weight[layout.edge_id] * layout.valid
 
 
+def _planarize(a):
+    """[N, B, D] -> planar flat [N, 2 * pad_lane(B * D/2)]: the real halves
+    of every D block first, imaginary second (the split _cplx_mul expects —
+    D blocks store re in dims [:D/2] and im in [D/2:], reference
+    layer.py:75-80 rotate convention)."""
+    N, B, D = a.shape
+    d2 = D // 2
+    p = a.reshape(N, B, 2, d2).transpose(0, 2, 1, 3).reshape(N, 2, B * d2)
+    fh = _pad_lane(B * d2)
+    if fh != B * d2:
+        p = jnp.pad(p, ((0, 0), (0, 0), (0, fh - B * d2)))
+    return p.reshape(N, 2 * fh)
+
+
+def _deplanarize(a, B, D):
+    N = a.shape[0]
+    d2 = D // 2
+    fh = a.shape[1] // 2
+    p = a.reshape(N, 2, fh)[:, :, : B * d2]
+    return p.reshape(N, 2, B, d2).transpose(0, 2, 1, 3).reshape(N, B, D)
+
+
+def _rel3(relation, B, D):
+    if relation.ndim == 2:
+        return jnp.broadcast_to(relation[:, None, :], (relation.shape[0], B, D))
+    return relation
+
+
+def rspmm_rotate_fwd_pallas(layouts, edge_weight, relation, x, *, num_nodes):
+    """RotatE message (complex multiply) forward, sum aggregation. BEYOND
+    the reference, whose rotate path always materializes O(E*F) messages
+    (/root/reference/ultra/layer.py:112-113, README.md:43): here rotate
+    rides the same streamed blocked gather kernel as distmult via a planar
+    re/im row layout. Requires blocked layouts and x [V, B, D] with even D."""
+    lay = getattr(layouts, "fwd_blk", None)
+    assert lay is not None, "pallas rotate needs blocked layouts (fwd_blk)"
+    V, B, D = x.shape
+    xp = _planarize(x)
+    rp = _planarize(_rel3(relation, B, D))
+    out = rspmm_gather1(
+        xp, rp, _weight_chunks(edge_weight, lay), lay, lay.gather1,
+        mode="rot_rel",
+    )
+    return _deplanarize(out[:num_nodes], B, D)
+
+
+def rspmm_rotate_bwd_pallas(layouts, edge_weight, relation, x, g):
+    """Fused rotate backward: dx = conj(rel) (x) g, dr = conj(x) (x) g —
+    one pass over the src-sorted blocked layout, planar rows."""
+    rev = getattr(layouts, "rev_blk", None)
+    assert rev is not None, "pallas rotate needs blocked layouts (rev_blk)"
+    V, B, D = x.shape
+    dx_p, dr_p = rspmm_bwd_fused(
+        _planarize(x), _planarize(_flat(g).reshape(V, B, D)),
+        _planarize(_rel3(relation, B, D)),
+        _weight_chunks(edge_weight, rev), rev, mode="rotate",
+    )
+    dx = _deplanarize(dx_p[:V], B, D)
+    R = relation.shape[0]
+    dr = _deplanarize(dr_p[:R], B, D)
+    if relation.ndim == 2:
+        dr = dr.sum(axis=1)
+    return dr, dx
+
+
 def rspmm_fwd_pallas(layouts, edge_weight, relation, x, *, msg, num_nodes,
                      compute_dtype=jnp.float32, agg: str = "add"):
+    if msg == "rotate":
+        assert agg == "add", "pallas rotate covers sum aggregation"
+        return rspmm_rotate_fwd_pallas(
+            layouts, edge_weight, relation, x, num_nodes=num_nodes
+        )
     # flat mode: x [V, F] with relation [R, F] — the kernels' native layout;
     # callers that keep activations flat skip the [V, B, D] relayout copies
     flat_in = x.ndim == 2
@@ -1428,6 +1549,8 @@ def rspmm_fwd_pallas(layouts, edge_weight, relation, x, *, msg, num_nodes,
 def rspmm_bwd_pallas(layouts, edge_weight, relation, x, g, *, msg,
                      compute_dtype=jnp.float32):
     """Returns (d_relation, d_input)."""
+    if msg == "rotate":
+        return rspmm_rotate_bwd_pallas(layouts, edge_weight, relation, x, g)
     flat_in = x.ndim == 2
     if not flat_in:
         B = x.shape[1]
