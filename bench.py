@@ -102,16 +102,18 @@ def bench_impl(impl, triplets, rel, x, V, R, chain=4, repeats=3, batch_chunk=Non
     lo, hi = make_chain(2), make_chain(2 + chain)
     float(lo(x0, relation))  # compile + warm
     float(hi(x0, relation))
-    best = float("inf")
+    # slope from the per-depth minima across repeats: pairing independent
+    # single timings would let one noisy-slow t_lo sample understate (or even
+    # negate) the difference and bias the reported throughput high
+    t_lo_best = t_hi_best = float("inf")
     for _ in range(repeats):
         t0 = time.time()
         float(lo(x0, relation))
-        t_lo = time.time() - t0
+        t_lo_best = min(t_lo_best, time.time() - t0)
         t0 = time.time()
         float(hi(x0, relation))
-        t_hi = time.time() - t0
-        best = min(best, (t_hi - t_lo) / chain)
-    per_step = best * scale  # one full-batch fwd+bwd
+        t_hi_best = min(t_hi_best, time.time() - t0)
+    per_step = (t_hi_best - t_lo_best) / chain * scale  # one full-batch fwd+bwd
     E = triplets.shape[0]
     return E / per_step, per_step
 

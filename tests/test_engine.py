@@ -156,6 +156,77 @@ def test_steps_per_call_multigraph_and_weights(tmp_path):
     assert eng.meter.global_step == 4
 
 
+def test_multigraph_mixture_distribution_matches_edge_weights(tmp_path):
+    """The per-STEP graph-id marginal must follow the edge-count mixture
+    weights (reference engine.py:23-28) for steps_per_call 1 AND 4 — K>1
+    draws the graph once per K-step chunk, which keeps the marginal unbiased
+    (each chunk's K steps all count toward the drawn graph)."""
+    graphs = [
+        synthetic_transductive("g0", 30, 300, 4, seed=0),
+        synthetic_transductive("g1", 25, 100, 4, seed=1),
+    ]
+    task = MultiGraphPretrainTask(
+        JointDataset("joint", graphs), tiny_model_cfg(4), tiny_task_cfg()
+    )
+    expect = task._graph_probs  # 0.75 / 0.25
+    for K, bpe, tol in ((1, 2000, 0.05), (4, 2000, 0.09)):
+        eng = Engine(task, batch_size=16, work_dir=str(tmp_path),
+                     log_interval=10**9, steps_per_call=K, seed=123 + K)
+        counts = np.zeros(task.num_graphs)
+        for gid, k, _batch, _sw in eng._epoch_chunks(bpe):
+            counts[gid] += k
+        freq = counts / counts.sum()
+        # tol ≈ 4σ of the binomial at bpe (K=1) / bpe/K (K=4) draws
+        np.testing.assert_allclose(freq, expect, atol=tol)
+
+
+def test_engine_logger_wandb_wiring(tmp_path, monkeypatch):
+    """`engine.logger: wandb` (reference pretrain_3g.yaml:47; torchdrug
+    core.Engine logger kwarg) constructs a WandbLogger fed window means and
+    eval dicts through the meter — verified against a stubbed wandb module."""
+    import sys
+    import types
+
+    logged = []
+    inits = []
+
+    class _Run:
+        def log(self, metrics, step=None):
+            logged.append((dict(metrics), step))
+
+        def finish(self):
+            pass
+
+    stub = types.ModuleType("wandb")
+
+    def _init(project=None, config=None):
+        inits.append((project, config))
+        return _Run()
+
+    stub.init = _init
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    from ultra_torchdrug_tpu.engine.build import build_engine
+
+    ds = synthetic_transductive(num_nodes=30, num_edges=200, num_relations=4)
+    task = TransductiveKGTask(ds, tiny_model_cfg(ds.num_relations), tiny_task_cfg())
+    cfg = {
+        "engine": {"logger": "wandb", "batch_size": 16, "log_interval": 2},
+        "optimizer": {"class": "AdamW", "lr": 5e-3},
+        "task": {"class": "KnowledgeGraphCompletion"},
+    }
+    eng = build_engine(cfg, task, work_dir=str(tmp_path))
+    assert eng.metric_logger is not None
+    assert inits and inits[0][0] == "ultra_tpu"
+    assert inits[0][1]["engine"]["logger"] == "wandb"  # scrubbed config passed
+    eng.train(num_epoch=1, batch_per_epoch=4)
+    window = [m for m, _ in logged if "loss" in m]
+    assert window and all("it_per_s" in m for m, _ in logged if "loss" in m)
+    eng.evaluate("valid")
+    evals = [m for m, _ in logged if any(k.endswith("mrr") for k in m)]
+    assert evals  # eval dicts reach the sink with the split/epoch prefix
+
+
 def test_sample_weight_path(tmp_path):
     ds = synthetic_transductive(num_nodes=30, num_edges=200, num_relations=4)
     task = TransductiveKGTask(

@@ -165,7 +165,9 @@ def _codex(size: str, path: str = _DEFAULT_PATH, **_) -> TransductiveDataset:
 
     tar = _download(_CODEX_URL.format(s=size), os.path.join(root, f"codex-{size}.tar.gz"))
     with tarfile.open(tar) as tf:
-        tf.extractall(root)
+        # filter='data' rejects path-traversal members (../, absolute paths)
+        # and is the non-deprecated spelling on 3.12+
+        tf.extractall(root, filter="data")
     inner = os.path.join(root, f"codex-{size}")
     base = inner if os.path.isdir(inner) else root
     files = [os.path.join(base, f"{s}.txt") for s in ("train", "valid", "test")]

@@ -203,6 +203,15 @@ def build_engine(cfg: dict, task, work_dir: str = ".", seed: int = 1024,
     clip_grad = eng_cfg.get("clip_grad")
     if clip_grad is None and cfg.get("debug"):
         clip_grad = cfg.get("train", {}).get("clip_grad")
+    # `engine.logger: wandb` — the reference engine's structured-metric sink
+    # (key present-but-commented in config/transductive/pretrain_3g.yaml:47)
+    metric_logger = None
+    if str(eng_cfg.get("logger", "logging")).lower() == "wandb":
+        from ..utils.debug import WandbLogger
+
+        metric_logger = WandbLogger(
+            project=str(eng_cfg.get("wandb_project", "ultra_tpu")), config=cfg
+        )
     return Engine(
         task,
         batch_size=int(eng_cfg.get("batch_size", 64)),
@@ -215,4 +224,5 @@ def build_engine(cfg: dict, task, work_dir: str = ".", seed: int = 1024,
         work_dir=work_dir,
         mesh=mesh,
         steps_per_call=int(eng_cfg.get("steps_per_call", 1)),
+        metric_logger=metric_logger,
     )

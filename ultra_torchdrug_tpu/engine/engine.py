@@ -61,6 +61,7 @@ class Engine:
         logger=None,
         mesh=None,
         steps_per_call: int = 1,
+        metric_logger=None,
     ):
         self.task = task
         self.batch_size = batch_size
@@ -74,7 +75,11 @@ class Engine:
         self.mesh = mesh  # optional jax Mesh with a "data" axis (DP)
         self.work_dir = work_dir
         self.logger = logger or get_root_logger(os.path.join(work_dir, "log.txt"))
-        self.meter = Meter(self.logger, log_interval)
+        # metric_logger: optional structured sink (WandbLogger) fed window
+        # means + eval dicts through the meter — the `engine.logger: wandb`
+        # config key (reference engine config; core.Engine logger kwarg)
+        self.metric_logger = metric_logger
+        self.meter = Meter(self.logger, log_interval, sink=metric_logger)
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
         self.params = task.init_params(self._next_key())

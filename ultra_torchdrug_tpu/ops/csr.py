@@ -335,6 +335,12 @@ def pad_layout_chunks(layout: CsrLayout, num_chunks: int) -> CsrLayout:
     if num_chunks == C:
         return layout
     assert num_chunks > C, (num_chunks, C)
+    # blocked layouts carry a 7-row cr_pairs DMA schedule (first/parity/
+    # next-block/has-next); replicating row 0's last tile id into those rows
+    # would corrupt the manual stream schedule — only 2-row layouts pad here
+    assert layout.block_rows == 0, (
+        "pad_layout_chunks supports bucket (2-row cr_pairs) layouts only"
+    )
     pad = num_chunks - C
 
     def padchunks(a, fill=0):

@@ -15,8 +15,12 @@ fixed-shape boolean masks with identical semantics:
 
 from __future__ import annotations
 
+import dataclasses
+import math
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def edges_in_patterns(edge_list: jnp.ndarray, patterns: jnp.ndarray) -> jnp.ndarray:
@@ -52,6 +56,97 @@ def edges_in_patterns(edge_list: jnp.ndarray, patterns: jnp.ndarray) -> jnp.ndar
     matched_sorted = (run_has_pattern[run_id] > 0) & (ps == 0)
     matched = jnp.zeros((E + P,), bool).at[order].set(matched_sorted)
     return matched[:E]
+
+
+# ---------------------------------------------------------------------------
+# indexed pattern join: the per-step easy-edge mask without the per-step sort
+# ---------------------------------------------------------------------------
+#
+# edges_in_patterns lexsorts E+P rows EVERY step (~14 ms of the FB train step
+# forward), but the edge side is static topology: pre-sorting it once per task
+# host-side turns the join into P vectorized binary searches (~log2 E gather
+# rounds over [P]-vectors) plus one cumsum over E — sub-millisecond.
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PatternJoinIndex:
+    """Edges sorted by (h, t, r) (or (h, t) for the remove_one_hop wildcard),
+    as two int32 key arrays + the sort permutation. Pure topology function."""
+
+    h_sorted: jnp.ndarray  # [E] int32 heads in sorted order
+    tr_sorted: jnp.ndarray  # [E] int32 combined (t * r_mult + r) in sorted order
+    perm: jnp.ndarray  # [E] int32: sorted position -> original edge id
+    r_mult: int = dataclasses.field(metadata=dict(static=True))
+
+
+def build_pattern_join(
+    edge_index: np.ndarray, edge_type: np.ndarray, wildcard_rel: bool = False
+):
+    """Host-side index construction. Returns None when the combined
+    (t, r) key cannot fit int32 (callers then fall back to the sort join)."""
+    ei = np.asarray(edge_index, np.int64)
+    et = np.asarray(edge_type, np.int64)
+    h, t = ei[:, 0], ei[:, 1]
+    if wildcard_rel:
+        r_mult, r = 1, np.zeros_like(t)
+    else:
+        r_mult = 1 << int(max(et.max(initial=0), 0)).bit_length()
+        r = et
+    tr = t * r_mult + r
+    if tr.size and int(tr.max()) >= 2**31:
+        return None
+    order = np.lexsort((tr, h)).astype(np.int32)
+    return PatternJoinIndex(
+        h_sorted=jnp.asarray(h[order].astype(np.int32)),
+        tr_sorted=jnp.asarray(tr[order].astype(np.int32)),
+        perm=jnp.asarray(order),
+        r_mult=int(r_mult),
+    )
+
+
+def _pair_searchsorted(h_s, tr_s, qh, qtr, side: str):
+    """Vectorized binary search over the lexicographic pair key (h, tr):
+    insertion points of each query pair into the sorted arrays."""
+    E = h_s.shape[0]
+    lo = jnp.zeros(qh.shape, jnp.int32)
+    hi = jnp.full(qh.shape, E, jnp.int32)
+    n_iter = max(1, math.ceil(math.log2(E + 1)))
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        gm = jnp.minimum(mid, E - 1)
+        mh, mtr = h_s[gm], tr_s[gm]
+        if side == "left":
+            go = (mh < qh) | ((mh == qh) & (mtr < qtr))
+        else:
+            go = (mh < qh) | ((mh == qh) & (mtr <= qtr))
+        go = go & (mid < hi)  # converged lanes (lo == hi) stay put
+        return jnp.where(go, mid + 1, lo), jnp.where(go, hi, mid)
+
+    lo, _ = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
+    return lo
+
+
+def edges_in_patterns_indexed(
+    index: PatternJoinIndex, patterns: jnp.ndarray
+) -> jnp.ndarray:
+    """[E] bool in ORIGINAL edge order — same result as edges_in_patterns
+    against the edges the index was built over (duplicate edges all match,
+    exactly like the sort-merge join). patterns: [P, 3]; for a wildcard-rel
+    index pass relation 0 in column 2."""
+    E = index.h_sorted.shape[0]
+    qh = patterns[:, 0]
+    qtr = patterns[:, 1] * index.r_mult + patterns[:, 2]
+    left = _pair_searchsorted(index.h_sorted, index.tr_sorted, qh, qtr, "left")
+    right = _pair_searchsorted(index.h_sorted, index.tr_sorted, qh, qtr, "right")
+    # union of [left, right) runs via a +1/-1 fence diff + prefix sum
+    delta = (
+        jnp.zeros((E + 1,), jnp.int32).at[left].add(1).at[right].add(-1)
+    )
+    covered = jnp.cumsum(delta)[:E] > 0
+    return jnp.zeros((E,), bool).at[index.perm].set(covered)
 
 
 def _truth_mask(anchor, rel, batch_anchor, batch_rel, other, num_nodes):

@@ -959,7 +959,12 @@ def rspmm_gather1(
     rel_rows = 0 if relation is None else relation.shape[0]
     tf = _feature_tiles(F_pad, rel_rows, layout)
 
-    meta = _pack_meta(layout, index_chunks, layout.aux)
+    # aux (edge type) is only read by the *_rel message modes; when relation
+    # is None (e.g. transe backward d_input) pack zeros so the packed-word
+    # bound aux < 2048 holds by construction — layout.aux can carry edge
+    # types up to 2*num_relations-1, which _packed_ok never sees here.
+    aux = layout.aux if relation is not None else jnp.zeros_like(layout.aux)
+    meta = _pack_meta(layout, index_chunks, aux)
     w3 = w_chunks[:, None, :]  # [C, 1, TE]
     # small gathered operand (relation graphs): keep it VMEM-resident and
     # skip per-edge DMAs entirely
@@ -979,7 +984,7 @@ def rspmm_gather1(
             manual_stream=True,
         )
         if packed:
-            meta = _pack_meta_packed(layout, index_chunks, layout.aux)
+            meta = _pack_meta_packed(layout, index_chunks, aux)
         vg = layout.padded_gather_rows
         if data.shape[0] < vg:
             data = jnp.pad(data, ((0, vg - data.shape[0]), (0, 0)))

@@ -50,9 +50,14 @@ class Meter:
     blocks on per-step metric transfers (over the remote-TPU tunnel a per-step
     float() costs a full round trip and serializes host against device)."""
 
-    def __init__(self, logger: logging.Logger, log_interval: int = 100):
+    def __init__(self, logger: logging.Logger, log_interval: int = 100,
+                 sink=None):
         self.logger = logger
         self.log_interval = log_interval
+        # optional metric sink (e.g. utils.debug.WandbLogger) — the analog of
+        # torchdrug core.Engine's `logger: wandb` config key, which the
+        # reference's engine accepts (config/transductive/pretrain_3g.yaml:47)
+        self.sink = sink
         self.reset()
         self.epoch = 0
         self.global_step = 0
@@ -107,12 +112,25 @@ class Meter:
         self.logger.info(
             f"step {self.global_step} | {' | '.join(parts)} | {rate:.2f} it/s"
         )
+        if self.sink is not None:
+            record = {k: v / n for k, v in sums.items()}
+            record.update(
+                {k: (v / dt if dt > 0 else 0.0) for k, v in self._rates.items()}
+            )
+            record["it_per_s"] = rate
+            self.sink.log(record, step=self.global_step)
         self.reset()
 
     def log_dict(self, metrics: dict, category: str = ""):
         prefix = f"[{category}] " if category else ""
         for k in sorted(metrics):
             self.logger.info(f"{prefix}{k}: {float(metrics[k]):.6g}")
+        if self.sink is not None:
+            pre = f"{category}/" if category else ""
+            self.sink.log(
+                {f"{pre}{k}": float(v) for k, v in metrics.items()},
+                step=self.global_step,
+            )
 
 
 def create_working_directory(output_dir: str, *names: str) -> str:
