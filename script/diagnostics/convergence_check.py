@@ -34,10 +34,12 @@ graph = Graph.from_triplets(tri, V, len(offsets))
 ds = TransductiveDataset("offsets", graph, train, valid, test)
 
 cfg = UltraConfig.default(ds.num_relations, rspmm_impl="pallas")
+# shipped default: remat/stack resolve per graph ("auto" -> full-save +
+# unrolled where the backward peak fits HBM, measured fastest in round 4)
 cfg = dataclasses.replace(
     cfg,
-    entity=dataclasses.replace(cfg.entity, remat=True),
-    relation=dataclasses.replace(cfg.relation, remat=True),
+    entity=dataclasses.replace(cfg.entity, remat="auto"),
+    relation=dataclasses.replace(cfg.relation, remat="auto"),
 )
 task = TransductiveKGTask(ds, cfg, TaskConfig(num_negative=64))
 eng = Engine(task, batch_size=64, lr=5e-4, log_interval=100, work_dir="/tmp")

@@ -236,6 +236,33 @@ def test_sample_weight_path(tmp_path):
     eng.train(num_epoch=1, batch_per_epoch=3)  # just runs
 
 
+def test_auto_eval_batch_policy_and_invariance(tmp_path):
+    """Auto eval batch sizing: raises small batches to the cap on small
+    graphs, shrinks below the request at huge V (HBM model), is pinned by
+    cfg.eval_batch_size — and metrics are invariant to the batch size (the
+    eval loop pads-to-batch; scoring is per-triple)."""
+    ds = synthetic_transductive(num_nodes=40, num_edges=300, num_relations=5)
+    task = TransductiveKGTask(ds, tiny_model_cfg(ds.num_relations), tiny_task_cfg())
+    # small graph: raised to the power-of-two cap
+    assert task._resolve_eval_batch(16, num_nodes=40) == 128
+    # huge graph: shrunk to what the 16 GB fallback budget fits
+    b_huge = task._resolve_eval_batch(64, num_nodes=3_000_000)
+    assert b_huge < 64 and b_huge & (b_huge - 1) == 0
+    # explicit pin wins
+    task_pin = TransductiveKGTask(
+        ds, tiny_model_cfg(ds.num_relations), tiny_task_cfg(eval_batch_size=7)
+    )
+    assert task_pin._resolve_eval_batch(16, num_nodes=40) == 7
+
+    eng = Engine(task, batch_size=16, work_dir=str(tmp_path), log_interval=1000)
+    m_auto = eng.evaluate("valid")
+    eng_pin = Engine(task_pin, batch_size=16, work_dir=str(tmp_path),
+                     log_interval=1000)
+    eng_pin.params = eng.params
+    m_pin = eng_pin.evaluate("valid")
+    assert abs(m_auto["mrr"] - m_pin["mrr"]) < 1e-6
+
+
 def test_toy_eval_protocol(tmp_path):
     ds = synthetic_inductive(num_relations=5, seed=3)
     cfg = dataclasses.replace(
@@ -251,14 +278,25 @@ def test_toy_eval_protocol(tmp_path):
     assert 0 <= m["hits@10_50"] <= 1
 
 
-def test_learning_on_compositional_structure(tmp_path):
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_learning_on_compositional_structure(tmp_path, impl):
     """Eval MRR must rise well above random after brief training on a KG whose
     held-out triples follow compositional offset rules (uniform-random KGs are
-    unlearnable, so this is the real learning-loop check)."""
+    unlearnable, so this is the real learning-loop check). Runs BOTH rspmm
+    impls (pallas = interpret-mode kernels on CPU): training-timescale
+    numerics drift in the fused kernels/VJPs would pass unit parity but fail
+    to converge here."""
+    import dataclasses as _dc
+
     from ultra_torchdrug_tpu.data.datasets import synthetic_compositional
 
     ds = synthetic_compositional(num_nodes=100, offsets=(1, 2, 3), per_relation=150)
     cfg = tiny_model_cfg(ds.num_relations)
+    cfg = _dc.replace(
+        cfg,
+        entity=_dc.replace(cfg.entity, rspmm_impl=impl),
+        relation=_dc.replace(cfg.relation, rspmm_impl=impl),
+    )
     task = TransductiveKGTask(ds, cfg, TaskConfig(num_negative=16))
     eng = Engine(task, batch_size=32, lr=5e-3, work_dir=str(tmp_path),
                  log_interval=10**9)

@@ -5,7 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ultra_torchdrug_tpu.ops.match import (
+    build_pattern_join,
     edges_in_patterns,
+    edges_in_patterns_indexed,
     head_truth_mask,
     tail_truth_mask,
 )
@@ -36,6 +38,80 @@ def test_edges_in_patterns_with_duplicate_edges(rng):
     pat_set = {tuple(p) for p in patterns.tolist()}
     want = np.array([tuple(e) in pat_set for e in el.tolist()])
     np.testing.assert_array_equal(got, want)
+
+
+def test_edges_in_patterns_indexed_matches_sort_join(rng):
+    """The binary-search join over the pre-sorted static edge index must
+    reproduce the sort-merge join exactly — duplicate edges, duplicate
+    patterns, and misses included."""
+    for E, P in ((1, 3), (50, 1), (200, 40)):
+        el = random_edges(rng, V=30, E=E, R=7)
+        el = np.concatenate([el, el[: max(E // 5, 1)]], axis=0)  # dup edges
+        patterns = np.concatenate(
+            [el[:: max(P, 1)][:P], random_edges(rng, V=30, E=P, R=7), el[:1]],
+            axis=0,
+        )
+        idx = build_pattern_join(el[:, :2], el[:, 2])
+        want = np.asarray(
+            edges_in_patterns(jnp.asarray(el), jnp.asarray(patterns))
+        )
+        got = np.asarray(
+            jax.jit(edges_in_patterns_indexed)(idx, jnp.asarray(patterns))
+        )
+        np.testing.assert_array_equal(got, want)
+
+
+def test_edges_in_patterns_indexed_wildcard_rel(rng):
+    """remove_one_hop variant: relation is a wildcard — the (h, t)-keyed
+    index matches the sort join over relation-zeroed edge lists."""
+    el = random_edges(rng, V=25, E=120, R=5)
+    pat = random_edges(rng, V=25, E=30, R=5)
+    pat[:, 2] = 0
+    idx = build_pattern_join(el[:, :2], el[:, 2], wildcard_rel=True)
+    el0 = el.copy()
+    el0[:, 2] = 0
+    want = np.asarray(edges_in_patterns(jnp.asarray(el0), jnp.asarray(pat)))
+    got = np.asarray(edges_in_patterns_indexed(idx, jnp.asarray(pat)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_build_pattern_join_int32_overflow_guard():
+    el = np.array([[0, 2**24, 3]], np.int64)
+    assert build_pattern_join(el[:, :2].astype(np.int64),
+                              np.array([2**10], np.int64)) is None
+
+
+def test_mask_easy_edges_indexed_matches_plain(rng):
+    """_mask_easy_edges with a prepare_join'd graph equals the sort-join
+    result (weights identical)."""
+    from ultra_torchdrug_tpu.data.graph import Graph
+    from ultra_torchdrug_tpu.models.ultra import UltraConfig, _mask_easy_edges
+    from ultra_torchdrug_tpu.models.nbfnet import (
+        entity_nbfnet_config, rel_nbfnet_config,
+    )
+
+    el = random_edges(rng, V=30, E=150, R=6)
+    g = Graph.from_triplets(el, 30, 6)
+    B, N = 8, 4
+    h = jnp.asarray(rng.integers(0, 30, (B, N + 1)).astype(np.int32))
+    t = jnp.asarray(rng.integers(0, 30, (B, N + 1)).astype(np.int32))
+    r = jnp.asarray(rng.integers(0, 6, (B, N + 1)).astype(np.int32))
+    # make some patterns real edges so the mask is non-trivial
+    h = h.at[0, 0].set(int(el[0, 0]))
+    t = t.at[0, 0].set(int(el[0, 1]))
+    r = r.at[0, 0].set(int(el[0, 2]))
+    for one_hop in (False, True):
+        cfg = UltraConfig(
+            entity=entity_nbfnet_config(num_relations=12),
+            relation=rel_nbfnet_config(),
+            remove_one_hop=one_hop,
+        )
+        plain = _mask_easy_edges(cfg, g, h, t, r)
+        fast = _mask_easy_edges(cfg, g.prepare_join(one_hop=one_hop), h, t, r)
+        np.testing.assert_array_equal(
+            np.asarray(plain.edge_weight), np.asarray(fast.edge_weight)
+        )
+        assert (np.asarray(plain.edge_weight) == 0).any()
 
 
 def test_truth_masks(rng):

@@ -60,6 +60,11 @@ class Graph:
     # transforms (with_edge_weight / mask_edges) drop it and the conv falls
     # back to the sparse kernels.
     dense_adj: Optional[jnp.ndarray] = None
+    # optional pre-sorted edge index for the per-step easy-edge pattern join
+    # (ops/match.py::PatternJoinIndex) — pure topology function; join_index_ht
+    # is the wildcard-relation variant (remove_one_hop)
+    join_index: object = None
+    join_index_ht: object = None
 
     # ---- constructors -----------------------------------------------------
 
@@ -104,6 +109,17 @@ class Graph:
 
     def _set_host_cache(self, edge_index: np.ndarray, edge_type: np.ndarray):
         object.__setattr__(self, "_host_edges", (edge_index, edge_type))
+
+    def _replace_keep_host(self, **kw) -> "Graph":
+        """dataclasses.replace that carries the host edge cache over — for the
+        topology-preserving prepare_* attachments (host-side only; a plain
+        replace would silently downgrade later host_edge_index() calls to
+        device fetches, which cost seconds over a remote-TPU tunnel)."""
+        g = dataclasses.replace(self, **kw)
+        cache = getattr(self, "_host_edges", None)
+        if cache is not None:
+            g._set_host_cache(*cache)
+        return g
 
     def host_edge_index(self) -> np.ndarray:
         cache = getattr(self, "_host_edges", None)
@@ -239,7 +255,7 @@ class Graph:
             blocked=blocked,
             block_rows=block_rows,
         )
-        return dataclasses.replace(self, layouts=layouts)
+        return self._replace_keep_host(layouts=layouts)
 
     def prepare_pallas_sharded(
         self,
@@ -266,7 +282,7 @@ class Graph:
             include_rel_layout=include_rel_layout,
             balance=balance,
         )
-        return dataclasses.replace(self, part_layouts=part)
+        return self._replace_keep_host(part_layouts=part)
 
     def prepare_ring(
         self, n_shards: int, pallas: bool = False,
@@ -287,7 +303,7 @@ class Graph:
             tile_rows=tile_rows, tile_edges=tile_edges, balance=balance,
             permuted_io=permuted_io,
         )
-        return dataclasses.replace(self, ring_inputs=ring)
+        return self._replace_keep_host(ring_inputs=ring)
 
     def prepare_dense(
         self,
@@ -314,7 +330,24 @@ class Graph:
         np.add.at(
             A, (et, ei[:, 1], ei[:, 0]), np.asarray(self.edge_weight)
         )
-        return dataclasses.replace(self, dense_adj=jnp.asarray(A))
+        return self._replace_keep_host(dense_adj=jnp.asarray(A))
+
+    def prepare_join(self, one_hop: bool = False) -> "Graph":
+        """Attach the sorted-edge PatternJoinIndex for the per-step easy-edge
+        mask (models/ultra.py::_mask_easy_edges): the join's sort moves from
+        every train step to one host-side lexsort here. one_hop additionally
+        builds the wildcard-relation variant (remove_one_hop configs)."""
+        from ..ops.match import build_pattern_join
+
+        ji = self.join_index or build_pattern_join(
+            self.host_edge_index(), self.host_edge_type()
+        )
+        ji_ht = self.join_index_ht
+        if one_hop and ji_ht is None:
+            ji_ht = build_pattern_join(
+                self.host_edge_index(), self.host_edge_type(), wildcard_rel=True
+            )
+        return self._replace_keep_host(join_index=ji, join_index_ht=ji_ht)
 
     def sorted_by_tail(self) -> "Graph":
         """Reorder edges so targets are ascending — the CSR layout the Pallas

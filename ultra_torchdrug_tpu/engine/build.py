@@ -117,6 +117,7 @@ def build_model_config(cfg_task: dict, num_relations: int, rspmm_impl: str = "au
         compute_dtype=str(m.get("compute_dtype", "float32")),
         score_chunk=_resolve_score_chunk(cfg_task, m),
         micro_batch=int(m.get("micro_batch", cfg_task.get("micro_batch", 0))),
+        stack=str(m.get("stack", cfg_task.get("stack", "auto"))),
     )
     rel_models_cfg = cfg_task.get("rel_models", {})
     rm = rel_models_cfg.get("rel_model", {})
@@ -130,6 +131,7 @@ def build_model_config(cfg_task: dict, num_relations: int, rspmm_impl: str = "au
         remat=rm.get("remat", cfg_task.get("remat", False)),
         compute_dtype=str(rm.get("compute_dtype",
                                  m.get("compute_dtype", "float32"))),
+        stack=str(rm.get("stack", cfg_task.get("stack", "auto"))),
     )
     return UltraConfig(
         entity=entity,
@@ -164,6 +166,7 @@ def build_task_config(cfg_task: dict, default_metrics) -> TaskConfig:
         fact_ratio=cfg_task.get("fact_ratio"),
         metric_per_rel=bool(cfg_task.get("metric_per_rel", False)),
         toy_eval=bool(cfg_task.get("toy_eval", False)),
+        eval_batch_size=cfg_task.get("eval_batch_size"),
     )
 
 

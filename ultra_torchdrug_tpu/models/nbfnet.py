@@ -64,6 +64,14 @@ class NBFNetConfig:
     #                     (+1x [V,B,D] saved per layer, -1 kernel pass)
     remat: object = False
     compute_dtype: str = "float32"  # pallas message math dtype (bf16 opt-in)
+    # layer-stack compilation: "scan" compiles ONE layer body (lax.scan over
+    # stacked params — fastest to compile), "unroll" inlines the layers (no
+    # carry-stack dynamic-update-slices, XLA fuses pads/copies across layer
+    # boundaries — measured faster per step on TPU; Mosaic kernels are
+    # shape-identical across layers so they compile once either way),
+    # "auto" = the task layer resolves to unroll on TPU / scan elsewhere
+    # (unresolved "auto" behaves like "scan")
+    stack: str = "auto"
     # all-entity scoring tail: 0 = one [V, B, 2D] feature + MLP pass; N > 0 =
     # sequential lax.map over N-row entity chunks, bounding the scoring
     # intermediates to [N, B, *] (the reference's candidate chunking,
@@ -145,7 +153,7 @@ def _propagate(
     [*, B, 64] tensor pads its 64-wide minor dim to 128 lanes on TPU (2x the
     bytes, the round-2 ATOMIC OOM); the flat layout is exactly lane-sized."""
     B = boundary.shape[1] // cfg.input_dim
-    if _scannable(layer_params, layer_cfgs, cfg):
+    if cfg.stack != "unroll" and _scannable(layer_params, layer_cfgs, cfg):
         stacked = jax.tree_util.tree_map(
             lambda *leaves: jnp.stack(leaves), *layer_params
         )
@@ -201,7 +209,7 @@ def _propagate(
 def rel_nbfnet_config(
     input_dim: int = 64, hidden: int = 64, num_layers: int = 6,
     rspmm_impl: str = "xla", edge_axis: str = "", learn_query: bool = False,
-    remat: bool = False, compute_dtype: str = "float32",
+    remat: bool = False, compute_dtype: str = "float32", stack: str = "auto",
 ) -> NBFNetConfig:
     """The fixed architecture RelNBFNet instantiates (rel_model.py:392-400):
     sum aggregation, layer_norm, short_cut, 4 relation types, distmult."""
@@ -220,6 +228,7 @@ def rel_nbfnet_config(
         learn_query=learn_query,
         remat=remat,
         compute_dtype=compute_dtype,
+        stack=stack,
     )
 
 
@@ -308,6 +317,7 @@ def entity_nbfnet_config(
         compute_dtype=kw.get("compute_dtype", "float32"),
         score_chunk=int(kw.get("score_chunk", 0)),
         micro_batch=int(kw.get("micro_batch", 0)),
+        stack=kw.get("stack", "auto"),
     )
 
 
@@ -335,6 +345,7 @@ def entity_nbfnet_score_all(
     source: jnp.ndarray,
     query_rel: jnp.ndarray,
     edge_grad: bool = False,
+    targets: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Score every entity as the target of (source[b], query_rel[b], ?).
 
@@ -345,7 +356,13 @@ def entity_nbfnet_score_all(
         such tensors: element 0 seeds the query, element i+1 feeds layer i
         (the multi-rel-model wiring of model.py:149-156)
       source: int [B] source entities; query_rel: int [B] in [0, 2R)
-    Returns: [B, V] scores (model.py:176-194 with all-entity targets).
+      targets: optional int [B, T] — score ONLY these entities per row and
+        return [B, T] (training needs 1 + num_negative of the V entities;
+        gathering final states before the MLP head drops the [V, B]-sized
+        scoring matmuls from both passes — V/T ~ 100x less head work).
+        Same math as indexing the [B, V] result (model.py:176-194 gathers
+        `feature` at the candidate index before its MLP too).
+    Returns: [B, V] scores, or [B, T] when targets is given.
     """
     B = source.shape[0]
     mb = cfg.micro_batch
@@ -367,10 +384,11 @@ def entity_nbfnet_score_all(
             chunk(source), chunk(query_rel),
             [r for r in rq_xs if r is not None]
             if isinstance(rq_xs, list) else rq_xs,
+            None if targets is None else chunk(targets),
         )
 
         def score_one(args):
-            src_c, qr_c, rel_c = args
+            src_c, qr_c, rel_c, tgt_c = args
             if isinstance(rel_queries, (list, tuple)):
                 it = iter(rel_c)
                 rq = [next(it) if x is not None else orig
@@ -378,12 +396,12 @@ def entity_nbfnet_score_all(
             else:
                 rq = rel_queries if rel_c is None else rel_c
             return entity_nbfnet_score_all(
-                params, sub_cfg, graph, rq, src_c, qr_c
+                params, sub_cfg, graph, rq, src_c, qr_c, targets=tgt_c
             )
 
         # checkpointed: the backward re-runs one chunk's propagation at a
         # time — peak HBM is a single [V, mb*D]-carry working set
-        out = jax.lax.map(jax.checkpoint(score_one), xs)  # [n, mb, V]
+        out = jax.lax.map(jax.checkpoint(score_one), xs)  # [n, mb, V|T]
         return out.reshape(B, -1)
     if isinstance(rel_queries, (list, tuple)):
         query_src = rel_queries[0]
@@ -437,6 +455,16 @@ def entity_nbfnet_score_all(
             ).reshape(Vrows, -1)
         else:
             final = hiddens[-1]
+    if targets is not None:
+        # gather the T target rows per batch element BEFORE the MLP head:
+        # flat [Vrows, B*feat] viewed [Vrows*B, feat] — row v*B + b is
+        # state(v, b) — so per-(b, t) rows are targets*B + b
+        rows = targets if ring is None or ring.to_new is None \
+            else ring.to_new[targets]
+        feat = final.shape[1] // B
+        flat_rows = final.reshape(Vrows * B, feat)
+        feats = flat_rows[rows * B + jnp.arange(B)[:, None]]  # [B, T, feat]
+        return _mlp_head_targets(params["mlp"], feats, query)  # [B, T]
     scores = _score_tail(params, cfg, final, query, Vrows, B)  # [B, Vrows]
     if ring is not None:
         # back to original entity order: gather score COLUMNS ([B, V] floats
@@ -462,6 +490,23 @@ def _mlp_head_split(mlp_params, final, query):
     if len(layers) > 1:
         h = mlp_apply({"layers": layers[1:]}, jax.nn.relu(h))
     return h
+
+
+def _mlp_head_targets(mlp_params, feats, query):
+    """The target-gathered head: feats [B, T, feat], query [B, D] -> [B, T].
+    Same split-weight formulation as _mlp_head_split (MLP input ordered
+    [state; query]), with the query term broadcast over T."""
+    layers = mlp_params["layers"]
+    w0, b0 = layers[0]["w"], layers[0]["b"]
+    dq = query.shape[-1]
+    h = (
+        jnp.dot(feats, w0[:-dq], precision=jax.lax.Precision.HIGHEST)
+        + jnp.dot(query, w0[-dq:], precision=jax.lax.Precision.HIGHEST)[:, None, :]
+        + b0
+    )
+    if len(layers) > 1:
+        h = mlp_apply({"layers": layers[1:]}, jax.nn.relu(h))
+    return h[..., 0]
 
 
 def _score_tail(params, cfg: NBFNetConfig, final, query, V, B):

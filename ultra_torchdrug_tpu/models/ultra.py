@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data.graph import Graph
-from ..ops.match import edges_in_patterns
+from ..ops.match import edges_in_patterns, edges_in_patterns_indexed
 from .nbfnet import (
     NBFNetConfig,
     entity_nbfnet_config,
@@ -97,7 +97,11 @@ def _mask_easy_edges(
     """Zero the weights of (h, t, r) [and mirrored inverse] edges appearing in
     the batch — the static-shape remove_easy_edges (model.py:57-74). Operates
     on the *directed* fact graph; callers expand to undirected afterwards so
-    the inverse copies inherit the mask."""
+    the inverse copies inherit the mask.
+
+    When the graph carries a PatternJoinIndex (Graph.prepare_join), the join
+    runs as P binary searches against the pre-sorted static edges instead of
+    lexsorting E+P rows every step (~14 ms -> sub-ms at FB scale)."""
     if cfg.remove_one_hop:
         h_ext = jnp.concatenate([h_index, t_index], axis=-1)
         t_ext = jnp.concatenate([t_index, h_index], axis=-1)
@@ -105,11 +109,17 @@ def _mask_easy_edges(
             [h_ext.reshape(-1), t_ext.reshape(-1), jnp.zeros_like(h_ext.reshape(-1))],
             axis=-1,
         )
+        if fact_graph.join_index_ht is not None:
+            hit = edges_in_patterns_indexed(fact_graph.join_index_ht, patterns)
+            return fact_graph.mask_edges(~hit)
         edge_list = fact_graph.edge_list.at[:, 2].set(0)  # wildcard relation
     else:
         patterns = jnp.stack(
             [h_index.reshape(-1), t_index.reshape(-1), r_index.reshape(-1)], axis=-1
         )
+        if fact_graph.join_index is not None:
+            hit = edges_in_patterns_indexed(fact_graph.join_index, patterns)
+            return fact_graph.mask_edges(~hit)
         edge_list = fact_graph.edge_list
     hit = edges_in_patterns(edge_list, patterns)
     return fact_graph.mask_edges(~hit)
@@ -180,11 +190,13 @@ def ultra_train_scores(
 
     rel_queries = _rel_queries(params, cfg, rel_graph, pos_r)  # [B, 2R, D]
 
-    scores_all = entity_nbfnet_score_all(
+    # targets: the head runs on the 1+N candidate entities only (the
+    # reference gathers `feature` at the candidate index before its MLP too,
+    # model.py:176-181) — identical to indexing the [B, V] score matrix
+    return entity_nbfnet_score_all(
         params["entity"], cfg.entity, graph_und, rel_queries,
-        source=h_index[:, 0], query_rel=r_index[:, 0],
-    )  # [B, V]
-    return jnp.take_along_axis(scores_all, t_index, axis=1)  # [B, 1+N]
+        source=h_index[:, 0], query_rel=r_index[:, 0], targets=t_index,
+    )  # [B, 1+N]
 
 
 def ultra_eval_scores(

@@ -211,8 +211,20 @@ def _kernel_one_gather(
         )
         return
 
+    # agg max/min: NACC-way rotation with PER-ACC ROW TAGS (lazy reset).
+    # Extremum cannot telescope (no inverse), so each accumulator instead
+    # remembers which output row it belongs to: a flush combines only the
+    # accumulators tagged with the flushed row, and a stale accumulator is
+    # OVERWRITTEN (not combined) the first time its slot is reused for a new
+    # row. The per-edge path is then a branch-light select+combine split
+    # NACC ways — the same ILP recovery the sum path gets from telescoping
+    # (the single-chain select/combine body ran at ~2x the sum path's time).
+    # Combine order never changes max/min results bitwise, so the backward's
+    # argext recompute-equality is preserved.
     def body(g, carry):
-        d_prev, acc = carry
+        d_prev, *state = carry
+        accs = list(state[:NACC])
+        tags = list(state[NACC:])
         gslot = jax.lax.rem(g, NGRP)
         wait_group(g)
 
@@ -237,22 +249,34 @@ def _kernel_one_gather(
             flush = d != d_prev
 
             @pl.when(flush)
-            def _(d_prev=d_prev, acc=acc):
+            def _(d_prev=d_prev, accs=tuple(accs), tags=tuple(tags)):
+                total = jnp.full(out_ref.shape[1:], neutral, jnp.float32)
+                for k in range(NACC):
+                    total = combine(
+                        total, jnp.where(tags[k] == d_prev, accs[k], neutral)
+                    )
                 out_ref[pl.ds(d_prev, 1)] = combine(
-                    out_ref[pl.ds(d_prev, 1)], acc[None]
+                    out_ref[pl.ds(d_prev, 1)], total[None]
                 )
 
-            acc = jnp.where(flush, msg, combine(acc, msg))
+            k = j % NACC
+            accs[k] = jnp.where(d == tags[k], combine(accs[k], msg), msg)
+            tags[k] = d
             d_prev = d
-        return d_prev, acc
+        return (d_prev, *accs, *tags)
 
-    # row_local of padding chunks is 0, so a dummy previous row of 0 with a
-    # neutral accumulator is always safe
-    d_last, acc_last = jax.lax.fori_loop(
+    # row_local of padding chunks is 0, so a dummy previous row of 0 with
+    # all-stale (-1) tags is always safe
+    zrow = jnp.full(out_ref.shape[1:], neutral, jnp.float32)
+    d_last, *state = jax.lax.fori_loop(
         0, ngroups, body,
-        (0, jnp.full(out_ref.shape[1:], neutral, jnp.float32)),
+        (0,) + (zrow,) * NACC + (jnp.int32(-1),) * NACC,
     )
-    out_ref[pl.ds(d_last, 1)] = combine(out_ref[pl.ds(d_last, 1)], acc_last[None])
+    accs, tags = state[:NACC], state[NACC:]
+    total = jnp.full(out_ref.shape[1:], neutral, jnp.float32)
+    for k in range(NACC):
+        total = combine(total, jnp.where(tags[k] == d_last, accs[k], neutral))
+    out_ref[pl.ds(d_last, 1)] = combine(out_ref[pl.ds(d_last, 1)], total[None])
 
 
 # ---------------------------------------------------------------------------
@@ -363,36 +387,55 @@ def _kernel_one_gather_vmem(
         )
         return
 
-    def body(i, carry):
-        d_prev, acc = carry
-        gi, ai, d = _decode_meta(mbuf, slot, i, packed)
-        xrow = read(gi)
-        w = wbuf[slot, 0, i]
-        if mode == "mul_rel":
-            msg = rel_ref[ai] * xrow
-        elif mode == "add_rel":
-            msg = rel_ref[ai] + xrow
-        elif mode == "rot_rel":
-            msg = _cplx_mul(rel_ref[ai], xrow)
-        else:
-            msg = xrow
-        msg = msg.astype(jnp.float32) * w
-        msg = jnp.where(mbuf[slot, 3, i] != 0, msg, neutral)
-        flush = d != d_prev
+    # agg max/min: NACC-way rotation with per-acc row tags (lazy reset) —
+    # see the DMA variant (_kernel_one_gather) for the full rationale
+    def body(q, carry):
+        d_prev, *state = carry
+        accs = list(state[:NACC])
+        tags = list(state[NACC:])
+        for j in range(NACC):
+            i = q * NACC + j
+            gi, ai, d = _decode_meta(mbuf, slot, i, packed)
+            xrow = read(gi)
+            w = wbuf[slot, 0, i]
+            if mode == "mul_rel":
+                msg = rel_ref[ai] * xrow
+            elif mode == "add_rel":
+                msg = rel_ref[ai] + xrow
+            elif mode == "rot_rel":
+                msg = _cplx_mul(rel_ref[ai], xrow)
+            else:
+                msg = xrow
+            msg = msg.astype(jnp.float32) * w
+            msg = jnp.where(mbuf[slot, 3, i] != 0, msg, neutral)
+            flush = d != d_prev
 
-        @pl.when(flush)
-        def _():
-            out_ref[pl.ds(d_prev, 1)] = combine(
-                out_ref[pl.ds(d_prev, 1)], acc[None]
-            )
+            @pl.when(flush)
+            def _(d_prev=d_prev, accs=tuple(accs), tags=tuple(tags)):
+                total = jnp.full(out_ref.shape[1:], neutral, jnp.float32)
+                for k in range(NACC):
+                    total = combine(
+                        total, jnp.where(tags[k] == d_prev, accs[k], neutral)
+                    )
+                out_ref[pl.ds(d_prev, 1)] = combine(
+                    out_ref[pl.ds(d_prev, 1)], total[None]
+                )
 
-        acc = jnp.where(flush, msg, combine(acc, msg))
-        return d, acc
+            accs[j] = jnp.where(d == tags[j], combine(accs[j], msg), msg)
+            tags[j] = d
+            d_prev = d
+        return (d_prev, *accs, *tags)
 
-    d_last, acc_last = jax.lax.fori_loop(
-        0, te, body, (0, jnp.full(out_ref.shape[1:], neutral, jnp.float32))
+    zrow = jnp.full(out_ref.shape[1:], neutral, jnp.float32)
+    d_last, *state = jax.lax.fori_loop(
+        0, te // NACC, body,
+        (0,) + (zrow,) * NACC + (jnp.int32(-1),) * NACC,
     )
-    out_ref[pl.ds(d_last, 1)] = combine(out_ref[pl.ds(d_last, 1)], acc_last[None])
+    accs, tags = state[:NACC], state[NACC:]
+    total = jnp.full(out_ref.shape[1:], neutral, jnp.float32)
+    for k in range(NACC):
+        total = combine(total, jnp.where(tags[k] == d_last, accs[k], neutral))
+    out_ref[pl.ds(d_last, 1)] = combine(out_ref[pl.ds(d_last, 1)], total[None])
 
 
 def _kernel_bwd_fused_vmem(
@@ -709,7 +752,8 @@ def _kernel_bwd_fused(
 
 def _kernel_bwd_minmax(
     cr_ref, meta_hbm, w_hbm, go_hbm, rel_ref, x_ref, dx_ref, dr_ref,
-    mbuf, wbuf, msems, wsems, gbuf, sems, *, mode: str, num_chunks: int
+    mbuf, wbuf, msems, wsems, gbuf, sems, mark_ref, xrow_ref,
+    *, mode: str, num_chunks: int
 ):
     """meta rows: (0: dst index into go, 1: etype, 2: src row_local, 3: valid).
     mode 'mul': msg = w*rel[r]*x; sel lanes get dx += rel*g*w, dr += x*g*w.
@@ -762,8 +806,17 @@ def _kernel_bwd_minmax(
     for g in range(NGRP):
         start_group(g)
 
+    # dx accumulation is a SUM even though the forward aggregation is an
+    # extremum — the same multi-accumulator telescoping as the fused add
+    # backward applies (the serial dx_acc select chain was half the sum
+    # path's speed). Row-change work (dx flush, mark snapshot, current-src x
+    # row refresh) lives in the flush branch; the per-edge path is
+    # gather + recompute + compare + FMA into a static NACC rotation.
+    mark_ref[...] = jnp.zeros_like(mark_ref)
+
     def body(g, carry):
-        d_prev, dx_acc, x_row = carry
+        d_prev, *accs = carry
+        accs = list(accs)
         gslot = jax.lax.rem(g, NGRP)
         wait_group(g)
 
@@ -781,12 +834,17 @@ def _kernel_bwd_minmax(
             flush = d != d_prev
 
             @pl.when(flush)
-            def _(d_prev=d_prev, dx_acc=dx_acc):
+            def _(d_prev=d_prev, accs=tuple(accs), d=d):
+                total = accs[0]
+                for k in range(1, NACC):
+                    total = total + accs[k]
                 dx_ref[pl.ds(d_prev, 1)] = (
-                    dx_ref[pl.ds(d_prev, 1)] + dx_acc[None]
+                    dx_ref[pl.ds(d_prev, 1)] + (total - mark_ref[...])[None]
                 )
+                mark_ref[...] = total
+                xrow_ref[...] = x_ref[d]
 
-            x_row = jnp.where(flush, x_ref[d], x_row)
+            x_row = xrow_ref[...]
             if mode == "mul":
                 msg = (rel_ref[r] * x_row).astype(jnp.float32) * w
             else:
@@ -799,19 +857,27 @@ def _kernel_bwd_minmax(
             else:
                 dx_msg = gw
                 dr_msg = gw
-            dx_acc = jnp.where(flush, dx_msg, dx_acc + dx_msg)
+            accs[j % NACC] = accs[j % NACC] + dx_msg
             dr_ref[pl.ds(r, 1)] = dr_ref[pl.ds(r, 1)] + dr_msg[None]
             d_prev = d
-        return d_prev, dx_acc, x_row
+        return (d_prev, *accs)
 
     zrow = jnp.zeros(dx_ref.shape[1:], jnp.float32)
-    d_last, dx_last, _ = jax.lax.fori_loop(0, ngroups, body, (-1, zrow, zrow))
-    dx_ref[pl.ds(d_last, 1)] = dx_ref[pl.ds(d_last, 1)] + dx_last[None]
+    d_last, *accs = jax.lax.fori_loop(
+        0, ngroups, body, (-1,) + (zrow,) * NACC
+    )
+    total = accs[0]
+    for k in range(1, NACC):
+        total = total + accs[k]
+    dx_ref[pl.ds(d_last, 1)] = (
+        dx_ref[pl.ds(d_last, 1)] + (total - mark_ref[...])[None]
+    )
 
 
 def _kernel_bwd_minmax_vmem(
     cr_ref, meta_hbm, w_hbm, go_ref, rel_ref, x_ref, dx_ref, dr_ref,
-    mbuf, wbuf, msems, wsems, *, mode: str, num_chunks: int
+    mbuf, wbuf, msems, wsems, mark_ref, xrow_ref,
+    *, mode: str, num_chunks: int
 ):
     """VMEM-resident go variant (small graphs / relation graphs)."""
     c = pl.program_id(0)
@@ -841,41 +907,60 @@ def _kernel_bwd_minmax_vmem(
 
     te = mbuf.shape[-1]
 
-    def body(i, carry):
-        d_prev, dx_acc, x_row = carry
-        grow = go_ref[mbuf[slot, 0, i], 0]
-        orow = go_ref[mbuf[slot, 0, i], 1]
-        w = wbuf[slot, 0, i]
-        r = mbuf[slot, 1, i]
-        d = mbuf[slot, 2, i]
-        flush = d != d_prev
+    # telescoped NACC-rotation dx — see _kernel_bwd_minmax
+    mark_ref[...] = jnp.zeros_like(mark_ref)
 
-        @pl.when(flush)
-        def _():
-            dx_ref[pl.ds(d_prev, 1)] = (
-                dx_ref[pl.ds(d_prev, 1)] + dx_acc[None]
-            )
+    def body(q, carry):
+        d_prev, *accs = carry
+        accs = list(accs)
+        for j in range(NACC):
+            i = q * NACC + j
+            grow = go_ref[mbuf[slot, 0, i], 0]
+            orow = go_ref[mbuf[slot, 0, i], 1]
+            w = wbuf[slot, 0, i]
+            r = mbuf[slot, 1, i]
+            d = mbuf[slot, 2, i]
+            flush = d != d_prev
 
-        x_row = jnp.where(flush, x_ref[d].astype(jnp.float32), x_row)
-        if mode == "mul":
-            msg = (rel_ref[r] * x_row).astype(jnp.float32) * w
-        else:
-            msg = (rel_ref[r] + x_row).astype(jnp.float32) * w
-        sel = (msg == orow).astype(jnp.float32)
-        gw = grow.astype(jnp.float32) * (w * sel)
-        if mode == "mul":
-            dx_msg = rel_ref[r] * gw
-            dr_msg = x_row * gw
-        else:
-            dx_msg = gw
-            dr_msg = gw
-        dx_acc = jnp.where(flush, dx_msg, dx_acc + dx_msg)
-        dr_ref[pl.ds(r, 1)] = dr_ref[pl.ds(r, 1)] + dr_msg[None]
-        return d, dx_acc, x_row
+            @pl.when(flush)
+            def _(d_prev=d_prev, accs=tuple(accs), d=d):
+                total = accs[0]
+                for k in range(1, NACC):
+                    total = total + accs[k]
+                dx_ref[pl.ds(d_prev, 1)] = (
+                    dx_ref[pl.ds(d_prev, 1)] + (total - mark_ref[...])[None]
+                )
+                mark_ref[...] = total
+                xrow_ref[...] = x_ref[d].astype(jnp.float32)
+
+            x_row = xrow_ref[...]
+            if mode == "mul":
+                msg = (rel_ref[r] * x_row).astype(jnp.float32) * w
+            else:
+                msg = (rel_ref[r] + x_row).astype(jnp.float32) * w
+            sel = (msg == orow).astype(jnp.float32)
+            gw = grow.astype(jnp.float32) * (w * sel)
+            if mode == "mul":
+                dx_msg = rel_ref[r] * gw
+                dr_msg = x_row * gw
+            else:
+                dx_msg = gw
+                dr_msg = gw
+            accs[j] = accs[j] + dx_msg
+            dr_ref[pl.ds(r, 1)] = dr_ref[pl.ds(r, 1)] + dr_msg[None]
+            d_prev = d
+        return (d_prev, *accs)
 
     zrow = jnp.zeros(dx_ref.shape[1:], jnp.float32)
-    d_last, dx_last, _ = jax.lax.fori_loop(0, te, body, (-1, zrow, zrow))
-    dx_ref[pl.ds(d_last, 1)] = dx_ref[pl.ds(d_last, 1)] + dx_last[None]
+    d_last, *accs = jax.lax.fori_loop(
+        0, te // NACC, body, (-1,) + (zrow,) * NACC
+    )
+    total = accs[0]
+    for k in range(1, NACC):
+        total = total + accs[k]
+    dx_ref[pl.ds(d_last, 1)] = (
+        dx_ref[pl.ds(d_last, 1)] + (total - mark_ref[...])[None]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1357,6 +1442,10 @@ def rspmm_bwd_minmax(
                 pltpu.VMEM((NGRP * GROUP, 2, ft, _LANE), jnp.float32),
                 pltpu.SemaphoreType.DMA((NGRP,)),
             ]
+        scratch += [
+            pltpu.VMEM((ft, _LANE), jnp.float32),  # telescoping mark
+            pltpu.VMEM((ft, _LANE), jnp.float32),  # current src x row
+        ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(layout.num_chunks,),

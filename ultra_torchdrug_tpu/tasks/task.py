@@ -63,6 +63,11 @@ class TaskConfig:
     fact_ratio: Optional[float] = None
     metric_per_rel: bool = False
     toy_eval: bool = False  # 50-sampled-negative protocol (task.py:474-484)
+    # eval batch: None = auto (largest power-of-two fitting the HBM budget —
+    # raises small batches to amortize the per-dispatch cost, shrinks batches
+    # that would OOM at large V); an int pins it (the reference always
+    # evaluates at engine.batch_size)
+    eval_batch_size: Optional[int] = None
 
 
 def _criterion_loss(cfg: TaskConfig, scores, sample_weight=None):
@@ -158,24 +163,50 @@ class _TaskBase:
     def _SAVE_RSPMM_MAX_NODES(self) -> int:
         return int(25000 * (_hbm_bytes() / (16 << 30)))
 
-    def _resolve_model_cfg(self, fact_graph: Graph) -> UltraConfig:
-        """remat="auto": pick the cheapest policy that fits — save_rspmm for
-        small graphs (backward skips the gather kernels), full remat above
-        the node threshold."""
+    # full-save (remat=False) backward peak, calibrated on the FB-scale
+    # measurement (script/diagnostics/step_breakdown_bwd.py round 4: XLA temp
+    # 8.86 GB at V=14541, B=64, D=64, 6 layers, unrolled) — ~6.2x the naive
+    # per-layer carry stack (kernel pads, dual-saved activations, fragments)
+    _FULL_SAVE_PEAK_FACTOR = 6.2
+
+    def _resolve_model_cfg(self, fact_graph: Graph, batch: int = 64) -> UltraConfig:
+        """remat="auto": cheapest policy that fits, measured fastest-first —
+        no remat at all (backward reuses every forward intermediate; fastest,
+        round-4 measured 272 vs 362 ms at FB scale) when the full-save peak
+        fits the HBM budget; save_rspmm (backward skips the gather kernels)
+        for small graphs; full remat above the node threshold.
+
+        stack="auto": unrolled layer stack on TPU (no scan carry-stack
+        dynamic-update-slices; XLA fuses pads/copies across layers — the
+        round-4 profile showed ~60 ms of scan machinery per step), lax.scan
+        elsewhere (one compiled layer body; CPU tests compile 6x faster)."""
         cfg = self.model_cfg
-        if cfg.entity.remat != "auto" and cfg.relation.remat != "auto":
+        ent, rel = cfg.entity, cfg.relation
+        if ent.remat == "auto" or rel.remat == "auto":
+            L = len(ent.hidden_dims)
+            D = ent.input_dim
+            full_peak = (
+                self._FULL_SAVE_PEAK_FACTOR
+                * L * fact_graph.num_nodes * batch * D * 4
+            )
+            if full_peak <= 0.7 * _hbm_bytes():
+                choice = False
+            elif fact_graph.num_nodes <= self._SAVE_RSPMM_MAX_NODES:
+                choice = "save_rspmm"
+            else:
+                choice = True
+            if ent.remat == "auto":
+                ent = dataclasses.replace(ent, remat=choice)
+            if rel.remat == "auto":
+                rel = dataclasses.replace(rel, remat=choice)
+        if ent.stack == "auto" or rel.stack == "auto":
+            stack = "unroll" if jax.default_backend() == "tpu" else "scan"
+            if ent.stack == "auto":
+                ent = dataclasses.replace(ent, stack=stack)
+            if rel.stack == "auto":
+                rel = dataclasses.replace(rel, stack=stack)
+        if ent is cfg.entity and rel is cfg.relation:
             return cfg
-        choice = (
-            "save_rspmm"
-            if fact_graph.num_nodes <= self._SAVE_RSPMM_MAX_NODES
-            else True
-        )
-        ent = cfg.entity if cfg.entity.remat != "auto" else dataclasses.replace(
-            cfg.entity, remat=choice
-        )
-        rel = cfg.relation if cfg.relation.remat != "auto" else dataclasses.replace(
-            cfg.relation, remat=choice
-        )
         return dataclasses.replace(cfg, entity=ent, relation=rel)
 
     # scoring hooks — ULTRA by default; ClassicNBFNet tasks override these
@@ -186,9 +217,10 @@ class _TaskBase:
             h, t, r, neg, fact_graph_und=fact_und,
         )
 
-    def _eval_scores(self, params, fact_graph, rel_graph, h, t, r, fact_und):
+    def _eval_scores(self, params, fact_graph, rel_graph, h, t, r, fact_und,
+                     model_cfg=None):
         return ultra_eval_scores(
-            params, self.model_cfg, fact_graph, rel_graph, h, t, r,
+            params, model_cfg or self.model_cfg, fact_graph, rel_graph, h, t, r,
             fact_graph_und=fact_und,
         )
 
@@ -245,13 +277,19 @@ class _TaskBase:
 
     def _build_loss_fn(self, fact_graph: Graph, rel_graph: Graph, num_nodes: int):
         cfg = self.cfg
-        model_cfg = self._resolve_model_cfg(fact_graph)
+        # pre-sorted edge index: the per-step easy-edge mask joins via binary
+        # search instead of re-sorting E+P rows inside every train step
+        fact_graph = fact_graph.prepare_join(
+            one_hop=getattr(self.model_cfg, "remove_one_hop", False)
+        )
         fact_und, rel_graph = self._prepare_graphs(fact_graph, rel_graph)
 
         def loss_fn(params, key, batch, sample_weight=None):
-            # batch size is static at trace time: size the entity-tower
+            # batch size is static at trace time: resolve the remat policy
+            # (full-save fit depends on B) and size the entity-tower
             # microbatching to the device budget here
-            mcfg = auto_micro_batch(model_cfg, fact_graph.num_nodes,
+            mcfg = self._resolve_model_cfg(fact_graph, int(batch.shape[0]))
+            mcfg = auto_micro_batch(mcfg, fact_graph.num_nodes,
                                     int(batch.shape[0]))
             h, t, r = batch[:, 0], batch[:, 1], batch[:, 2]
             if cfg.strict_negative:
@@ -281,12 +319,14 @@ class _TaskBase:
         (ranking [B,2] int32, num_candidates [B,2] float32)."""
         cfg = self.cfg
         V = fact_graph.num_nodes
+        model_cfg = self._resolve_model_cfg(fact_graph)
         fact_und, rel_graph = self._prepare_graphs(fact_graph, rel_graph)
 
         def eval_fn(params, batch, key=None):
             h, t, r = batch[:, 0], batch[:, 1], batch[:, 2]
             t_scores, h_scores = self._eval_scores(
-                params, fact_graph, rel_graph, h, t, r, fact_und
+                params, fact_graph, rel_graph, h, t, r, fact_und,
+                model_cfg=model_cfg,
             )
             t_truth = tail_truth_mask(filter_graph.edge_list, h, r, V)
             h_truth = head_truth_mask(filter_graph.edge_list, t, r, V)
@@ -312,6 +352,30 @@ class _TaskBase:
             return ranking, num_cand
 
         return eval_fn
+
+    # eval HBM model, calibrated on the ATOMIC-scale measurement
+    # (script/diagnostics/eval_memory.py: XLA temp 7.49 GB at V=304388, B=16,
+    # D=64 -> ~6 f32 copies of the flat [V, B*D] propagation state)
+    _EVAL_STATE_COPIES = 6.0
+    _EVAL_BATCH_RAISE_CAP = 128  # never auto-raise past this
+
+    def _resolve_eval_batch(self, requested: int, num_nodes: int) -> int:
+        """Auto eval batch sizing (the training analog is auto_micro_batch):
+        eval is propagate-once forward-only, so its live set is a few flat
+        [V, B*D] states — pick the largest power-of-two batch that fits the
+        HBM budget. Replaces the reference's manual full_batch_eval /
+        CPU-offload escape hatches (ref task.py:262-263,600-618) with a
+        measured policy; cfg.eval_batch_size pins it explicitly."""
+        if self.cfg.eval_batch_size:
+            return int(self.cfg.eval_batch_size)
+        D = self.model_cfg.entity.input_dim
+        per_b = self._EVAL_STATE_COPIES * num_nodes * D * 4
+        fit = max(1, int(0.75 * _hbm_bytes() / per_b))
+        cap = min(fit, max(requested, self._EVAL_BATCH_RAISE_CAP))
+        b = 1
+        while b * 2 <= cap:
+            b *= 2
+        return b
 
     # -- host-side eval loop ----------------------------------------------
 
@@ -450,6 +514,9 @@ class TransductiveKGTask(_TaskBase):
         if fast_test:
             g = np.random.default_rng(1024)
             triples = triples[g.permutation(len(triples))[:fast_test]]
+        batch_size = self._resolve_eval_batch(
+            batch_size, self.fact_graph.num_nodes
+        )
         ranking, cand = self._run_eval(self._eval_fn, params, triples, batch_size)
         rel = np.stack([triples[:, 2], triples[:, 2] + self.num_relations], 1)
         return self._metrics_from_rankings(ranking, cand, rel)
@@ -551,7 +618,8 @@ class InductiveKGTask(_TaskBase):
             g = np.random.default_rng(1024)
             triples = triples[g.permutation(len(triples))[:fast_test]]
         ranking, cand = self._run_eval(
-            self._eval_fns[split], params, triples, batch_size
+            self._eval_fns[split], params, triples,
+            self._resolve_eval_batch(batch_size, self.graphs[split].num_nodes),
         )
         # inductive per-relation uses the base relation id for both directions
         # (task.py:456-458)
@@ -638,7 +706,10 @@ class MultiGraphPretrainTask(_TaskBase):
                     )
                 )
             ranking, cand = self._run_eval(
-                self._eval_fns[gid], params, triples, batch_size
+                self._eval_fns[gid], params, triples,
+                self._resolve_eval_batch(
+                    batch_size, self.fact_graphs[gid].num_nodes
+                ),
             )
             m = self._metrics_from_rankings(ranking, cand, None)
             per_graph[name] = m
@@ -712,7 +783,8 @@ class ClassicNBFNetTask(TransductiveKGTask):
         )
         return jnp.take_along_axis(scores_all, t_index, axis=1)
 
-    def _eval_scores(self, params, fact_graph, rel_graph, h, t, r, fact_und):
+    def _eval_scores(self, params, fact_graph, rel_graph, h, t, r, fact_und,
+                     model_cfg=None):
         from ..models.classic_nbfnet import classic_score_all
 
         t_scores = classic_score_all(params, self.nbf_cfg, fact_und, h, r)
