@@ -945,3 +945,73 @@ def test_ultra_train_step_ring_agg_variants(rng, aggf):
                     jax.tree_util.tree_leaves(grads_r)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Pallas remote-DMA boundary exchange (parallel/rdma.py) — interpret mode
+# ---------------------------------------------------------------------------
+
+
+def test_rdma_rotate_matches_ppermute(rng):
+    """The RDMA kernel is a drop-in for ppermute(perm=[(i, i+1) % n])."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from ultra_torchdrug_tpu.parallel.rdma import rdma_rotate
+
+    mesh = make_mesh(data=1, edge=8)
+    n = 8
+    x = jnp.asarray(rng.normal(size=(n * 6, 4, 8)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(n * 6, 8)).astype(np.float32))
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def via_rdma(tree):
+        return rdma_rotate(tree, axis="edge", n_shards=n)
+
+    def via_ppermute(tree):
+        return jax.lax.ppermute(tree, "edge", perm)
+
+    for body in (via_rdma, via_ppermute):
+        sm = jax.jit(shard_map(
+            body, mesh=mesh, in_specs=P("edge"), out_specs=P("edge"),
+            check_vma=False,
+        ))
+        got = sm((x, y))
+        if body is via_rdma:
+            got_rdma = got
+        else:
+            got_pp = got
+    for a, b in zip(jax.tree_util.tree_leaves(got_rdma),
+                    jax.tree_util.tree_leaves(got_pp)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("agg", ["add", "max"])
+def test_ring_rspmm_rdma_exchange_matches(rng, agg):
+    """ring_rspmm(exchange='rdma') == exchange='ppermute' bitwise, fwd+grad."""
+    from ultra_torchdrug_tpu.parallel.ring_rspmm import (
+        build_ring_rspmm_inputs, ring_rspmm,
+    )
+
+    mesh = make_mesh(data=1, edge=8)
+    g = padded_graph(rng, V=43, E=160, R=5)
+    B, D = 2, 4
+    rel = jnp.asarray(rng.normal(size=(g.num_relations, D)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(g.num_nodes, B, D)).astype(np.float32))
+    inputs = build_ring_rspmm_inputs(g.edge_index, g.edge_type, g.num_nodes, 8)
+    probe = jnp.asarray(
+        rng.normal(size=(g.num_nodes, B, D)).astype(np.float32))
+
+    def make_loss(exchange):
+        def loss(rel, x):
+            out = ring_rspmm(g.edge_weight, inputs, rel, x, msg="mul",
+                             agg=agg, mesh=mesh, exchange=exchange)
+            return jnp.sum(out * probe), out
+        return loss
+
+    (l_pp, out_pp), g_pp = jax.jit(jax.value_and_grad(
+        make_loss("ppermute"), argnums=(0, 1), has_aux=True))(rel, x)
+    (l_rd, out_rd), g_rd = jax.jit(jax.value_and_grad(
+        make_loss("rdma"), argnums=(0, 1), has_aux=True))(rel, x)
+    np.testing.assert_array_equal(np.asarray(out_rd), np.asarray(out_pp))
+    for a, b in zip(g_rd, g_pp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -113,6 +113,7 @@ def build_model_config(cfg_task: dict, num_relations: int, rspmm_impl: str = "au
         project=bool(m.get("project", True)),
         rspmm_impl=impl,
         edge_axis=edge_axis,
+        ring_exchange=str(m.get("ring_exchange", "ppermute")),
         remat=m.get("remat", cfg_task.get("remat", False)),
         compute_dtype=str(m.get("compute_dtype", "float32")),
         score_chunk=_resolve_score_chunk(cfg_task, m),
@@ -127,6 +128,8 @@ def build_model_config(cfg_task: dict, num_relations: int, rspmm_impl: str = "au
         num_layers=rm.get("num_layers", 6),
         rspmm_impl=impl,
         edge_axis=rel_edge_axis,
+        ring_exchange=str(rm.get("ring_exchange",
+                                 m.get("ring_exchange", "ppermute"))),
         learn_query=bool(rm.get("learn_query", False)),
         remat=rm.get("remat", cfg_task.get("remat", False)),
         compute_dtype=str(rm.get("compute_dtype",

@@ -56,6 +56,7 @@ class ConvConfig:
     rspmm_impl: str = "xla"  # xla | pallas | ring (row-sharded multi-chip)
     edge_axis: str = ""  # mesh axis name for edge partitioning ("" = off)
     compute_dtype: str = "float32"  # bfloat16 = faster gathers, f32 accum
+    ring_exchange: str = "ppermute"  # | rdma (Pallas remote-DMA prototype)
 
 
 def conv_init(key, cfg: ConvConfig) -> dict:
@@ -276,6 +277,7 @@ def conv_apply(
                         graph.edge_weight, graph.ring_inputs, relation, xx3,
                         msg=msg, agg=agg, mesh=mesh, axis=cfg.edge_axis,
                         compute_dtype=cfg.compute_dtype,
+                        exchange=cfg.ring_exchange,
                     )
                 elif agg != "add":
                     # max/min are ring-only among the partitioned paths;

@@ -55,6 +55,7 @@ class NBFNetConfig:
     project: bool = True
     rspmm_impl: str = "xla"
     edge_axis: str = ""
+    ring_exchange: str = "ppermute"  # | rdma (Pallas remote-DMA prototype)
     learn_query: bool = False  # rel tower: learned query vector vs all-ones
     # rematerialization of the layer stack in the backward pass:
     #   False / "none"  — save everything (fastest, most memory)
@@ -106,6 +107,7 @@ class NBFNetConfig:
                 rspmm_impl=self.rspmm_impl,
                 edge_axis=self.edge_axis,
                 compute_dtype=self.compute_dtype,
+                ring_exchange=self.ring_exchange,
             )
             for i in range(len(dims) - 1)
         ]
@@ -210,6 +212,7 @@ def rel_nbfnet_config(
     input_dim: int = 64, hidden: int = 64, num_layers: int = 6,
     rspmm_impl: str = "xla", edge_axis: str = "", learn_query: bool = False,
     remat: bool = False, compute_dtype: str = "float32", stack: str = "auto",
+    ring_exchange: str = "ppermute",
 ) -> NBFNetConfig:
     """The fixed architecture RelNBFNet instantiates (rel_model.py:392-400):
     sum aggregation, layer_norm, short_cut, 4 relation types, distmult."""
@@ -229,6 +232,7 @@ def rel_nbfnet_config(
         remat=remat,
         compute_dtype=compute_dtype,
         stack=stack,
+        ring_exchange=ring_exchange,
     )
 
 
@@ -313,6 +317,7 @@ def entity_nbfnet_config(
         project=kw.get("project", True),
         rspmm_impl=rspmm_impl,
         edge_axis=kw.get("edge_axis", ""),
+        ring_exchange=kw.get("ring_exchange", "ppermute"),
         remat=kw.get("remat", False),
         compute_dtype=kw.get("compute_dtype", "float32"),
         score_chunk=int(kw.get("score_chunk", 0)),

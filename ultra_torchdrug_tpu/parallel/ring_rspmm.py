@@ -217,16 +217,31 @@ def _messages(relation, etype, rows, msg: str):
 
 
 @lru_cache(maxsize=None)
+def _make_rotate(axis: str, n: int, exchange: str):
+    """Boundary transport for one ring step: shard s -> s+1 (mod n).
+    'ppermute' = XLA collective (default; scheduler-overlapped);
+    'rdma' = Pallas make_async_remote_copy push (parallel/rdma.py)."""
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    if exchange == "rdma":
+        from .rdma import rdma_rotate
+
+        return lambda t: rdma_rotate(t, axis=axis, n_shards=n)
+    assert exchange == "ppermute", exchange
+    return lambda t: jax.lax.ppermute(t, axis, perm)
+
+
+@lru_cache(maxsize=None)
 def _make_ring_rspmm(
     msg: str, num_nodes: int, v_block: int, n_shards: int, mesh: Mesh,
     axis: str, use_pallas: bool = False, compute_dtype: str = "float32",
+    exchange: str = "ppermute",
 ):
     cdtype = jnp.dtype(compute_dtype)
     espec = P(axis)
     rep = P()
     n = n_shards
     vb = v_block
-    perm = [(i, (i + 1) % n) for i in range(n)]
+    rotate = _make_rotate(axis, n, exchange)
 
     def _wshape(w, like):
         return w.reshape((-1,) + (1,) * (like.ndim - 1))
@@ -262,7 +277,7 @@ def _make_ring_rspmm(
             if k + 1 < n:
                 # consumed only next step: XLA overlaps the transfer with
                 # this step's segment ops (async collectives)
-                x_rot = jax.lax.ppermute(x_rot, axis, perm)
+                x_rot = rotate(x_rot)
         return out
 
     fwd_sm = shard_map(
@@ -314,7 +329,7 @@ def _make_ring_rspmm(
                 )
             dr = dr_p if dr is None else dr + dr_p
             if k + 1 < n:
-                g_rot = jax.lax.ppermute(g_rot, axis, perm)
+                g_rot = rotate(g_rot)
         if relation.ndim < dr.ndim:
             dr = dr.sum(axis=tuple(range(1, dr.ndim - relation.ndim + 1)))
         return jax.lax.psum(dr, axis), dx
@@ -406,7 +421,7 @@ _BIG = 1e30
 @lru_cache(maxsize=None)
 def _make_ring_rspmm_minmax(
     msg: str, agg: str, num_nodes: int, v_block: int, n_shards: int,
-    mesh: Mesh, axis: str,
+    mesh: Mesh, axis: str, exchange: str = "ppermute",
 ):
     """Ring rspmm for AGG in {max, min}: forward combines per-bucket segment
     extrema across ring steps; backward rotates (g, out) through the
@@ -415,7 +430,7 @@ def _make_ring_rspmm_minmax(
     rep = P()
     n = n_shards
     vb = v_block
-    perm = [(i, (i + 1) % n) for i in range(n)]
+    rotate = _make_rotate(axis, n, exchange)
     is_max = agg == "max"
     seg = jax.ops.segment_max if is_max else jax.ops.segment_min
     combine = jnp.maximum if is_max else jnp.minimum
@@ -442,7 +457,7 @@ def _make_ring_rspmm_minmax(
             part = seg(mw, bk.out_local, num_segments=vb)
             out = combine(out, part)
             if k + 1 < n:
-                x_rot = jax.lax.ppermute(x_rot, axis, perm)
+                x_rot = rotate(x_rot)
         # empty rows -> 0, like the dense-fallback/pallas convention
         if is_max:
             return jnp.where(out <= -_BIG / 2, 0.0, out)
@@ -486,7 +501,7 @@ def _make_ring_rspmm_minmax(
             )
             dr = dr_p if dr is None else dr + dr_p
             if k + 1 < n:
-                rot = jax.lax.ppermute(rot, axis, perm)
+                rot = rotate(rot)
         if relation.ndim < dr.ndim:
             dr = dr.sum(axis=tuple(range(1, dr.ndim - relation.ndim + 1)))
         return jax.lax.psum(dr, axis), dx
@@ -575,6 +590,7 @@ def ring_rspmm(
     mesh: Mesh,
     axis: str = "edge",
     compute_dtype: str = "float32",
+    exchange: str = "ppermute",
 ):
     """Ring-pipelined row-sharded rspmm (module banner). edge_weight:
     replicated [E]; relation replicated; x [V, ...] (consumed row-sharded
@@ -583,11 +599,13 @@ def ring_rspmm(
     carry per-bucket CSR layouts — build_ring_rspmm_inputs(pallas=True) —
     and msg='mul', each step runs the fused Pallas kernels instead of XLA
     segment ops, with compute_dtype like the single-chip op) or 'max'/'min'
-    (associative extrema combine + argext backward)."""
+    (associative extrema combine + argext backward). exchange: 'ppermute'
+    (default XLA collective) or 'rdma' (Pallas make_async_remote_copy
+    boundary exchange, parallel/rdma.py)."""
     if agg in ("max", "min"):
         fn = _make_ring_rspmm_minmax(
             msg, agg, inputs.num_nodes, inputs.v_block, inputs.n_shards,
-            mesh, axis,
+            mesh, axis, exchange=exchange,
         )
         return fn(edge_weight, inputs, relation, x)
     assert agg == "add", agg
@@ -595,5 +613,6 @@ def ring_rspmm(
     fn = _make_ring_rspmm(
         msg, inputs.num_nodes, inputs.v_block, inputs.n_shards, mesh, axis,
         use_pallas=use_pallas, compute_dtype=str(compute_dtype),
+        exchange=exchange,
     )
     return fn(edge_weight, inputs, relation, x)
