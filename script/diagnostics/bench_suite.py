@@ -67,11 +67,12 @@ def main():
     if impl == "pallas":
         g = g.prepare_pallas()
 
-    for agg in ("max", "min"):
+    def kernel_leg(name, agg, compute_dtype="float32"):
         def loss(xx, rr):
             out = generalized_rspmm(
                 g.edge_index, g.edge_type, g.edge_weight, rr, xx,
                 msg="mul", agg=agg, num_nodes=V, impl=impl, layouts=g.layouts,
+                compute_dtype=compute_dtype,
             )
             return jnp.sum(out * out)
 
@@ -86,11 +87,19 @@ def main():
             return xx, rr
 
         t = timeit(chain, jnp.asarray(x), jnp.asarray(rel), n=1) / 2
-        results[f"rspmm_{agg}_fwd_bwd"] = {
+        results[name] = {
             "ms": round(t * 1e3, 2), "edges_per_s": round(E / t, 1),
             "impl": impl, "F": 4096,
         }
-        print(f"rspmm {agg}: {t*1e3:.2f} ms  {E/t/1e6:.2f}M edges/s", flush=True)
+        if compute_dtype != "float32":
+            results[name]["compute_dtype"] = compute_dtype
+        print(f"{name}: {t*1e3:.2f} ms  {E/t/1e6:.2f}M edges/s", flush=True)
+
+    for agg in ("max", "min"):
+        kernel_leg(f"rspmm_{agg}_fwd_bwd", agg)
+    # opt-in production mode: bf16-streamed gathers/messages, f32 accumulate
+    # (fp32 stays the default — reference parity; see CLAUDE.md invariants)
+    kernel_leg("rspmm_add_fwd_bwd_bf16", "add", compute_dtype="bfloat16")
 
     # ---- dense-MXU relation tower + full train step + eval batch ----------
     from ultra_torchdrug_tpu.data.datasets import synthetic_transductive
@@ -128,8 +137,6 @@ def main():
     }
     print(f"train fwd+bwd: {t*1e3:.1f} ms", flush=True)
 
-    # the shipped default: remat='auto' picks save_rspmm at FB scale (no
-    # forward recompute in the backward; kernels' outputs saved instead)
     cfg_s = dataclasses.replace(
         cfg,
         entity=dataclasses.replace(cfg.entity, remat="save_rspmm"),
@@ -144,6 +151,23 @@ def main():
         "E_und": int(2 * task.fact_graph.num_edges), "remat": "save_rspmm",
     }
     print(f"train fwd+bwd (save_rspmm): {t*1e3:.1f} ms", flush=True)
+
+    # the shipped default: remat='auto' resolves fastest-fits-first per
+    # graph/batch (full-save + unrolled stack at FB scale on a 16 GB chip)
+    cfg_a = dataclasses.replace(
+        cfg,
+        entity=dataclasses.replace(cfg.entity, remat="auto"),
+        relation=dataclasses.replace(cfg.relation, remat="auto"),
+    )
+    task_a = TransductiveKGTask(ds, cfg_a, TaskConfig(num_negative=128))
+    step_a = jax.jit(jax.value_and_grad(
+        lambda p: task_a._loss_fn(p, key, batch, None)[0]))
+    t = timeit(step_a, params, n=2)
+    results["train_step_fwd_bwd_fb_auto"] = {
+        "ms": round(t * 1e3, 1), "B": B, "V": int(ds.num_entities),
+        "E_und": int(2 * task.fact_graph.num_edges), "remat": "auto",
+    }
+    print(f"train fwd+bwd (auto, shipped default): {t*1e3:.1f} ms", flush=True)
 
     ev = task._eval_fn
     ebatch = jnp.asarray(task.eval_triples("valid")[:16])

@@ -3,11 +3,18 @@
 TPU diagnostic harness (run directly on the TPU host; compiles are cached
 in .jax_cache). See STATUS.md for the numbers these produced in round 1.
 """
+import argparse
 import os, sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 import time, dataclasses
 import numpy as np
 import jax
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--compute-dtype", default="float32",
+                help="bfloat16 = kernel-streamed bf16 with f32 accumulation "
+                     "(the opt-in production mode; fp32 is reference parity)")
+args = ap.parse_args()
 
 from ultra_torchdrug_tpu.data.datasets import TransductiveDataset
 from ultra_torchdrug_tpu.data.graph import Graph
@@ -38,8 +45,10 @@ cfg = UltraConfig.default(ds.num_relations, rspmm_impl="pallas")
 # unrolled where the backward peak fits HBM, measured fastest in round 4)
 cfg = dataclasses.replace(
     cfg,
-    entity=dataclasses.replace(cfg.entity, remat="auto"),
-    relation=dataclasses.replace(cfg.relation, remat="auto"),
+    entity=dataclasses.replace(
+        cfg.entity, remat="auto", compute_dtype=args.compute_dtype),
+    relation=dataclasses.replace(
+        cfg.relation, remat="auto", compute_dtype=args.compute_dtype),
 )
 task = TransductiveKGTask(ds, cfg, TaskConfig(num_negative=64))
 eng = Engine(task, batch_size=64, lr=5e-4, log_interval=100, work_dir="/tmp")

@@ -61,10 +61,10 @@ def main():
         relation=dataclasses.replace(cfg.relation, remat="auto"),
     )
     t0 = time.time()
+    os.makedirs("/tmp/endurance", exist_ok=True)
     task = MultiGraphPretrainTask(ds, cfg, TaskConfig(num_negative=128))
     eng = Engine(task, batch_size=64, lr=5e-4, log_interval=args.window,
                  work_dir="/tmp/endurance", steps_per_call=args.steps_per_call)
-    os.makedirs("/tmp/endurance", exist_ok=True)
     setup_s = time.time() - t0
     print(f"setup {setup_s:.1f}s", flush=True)
 

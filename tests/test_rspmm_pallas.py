@@ -706,3 +706,59 @@ def test_rotate_rejects_flat_and_odd_dims(rng):
         generalized_rspmm(jnp.asarray(ei), jnp.asarray(et), jnp.asarray(w),
                           jnp.asarray(rel), jnp.asarray(x),
                           msg="rotate", agg="add", num_nodes=V, impl="xla")
+
+
+@pytest.mark.parametrize("msg", ["mul", "add"])
+def test_pallas_fused_maxmin_pair(rng, msg):
+    """generalized_rspmm_maxmin over blocked layouts: ONE kernel pass yields
+    both extrema and one 4-plane argext backward both gradients — bitwise
+    equal to the separate max and min pallas calls, fwd and grad (combine
+    order never changes extrema; the equality gates see identical values)."""
+    from ultra_torchdrug_tpu.ops.rspmm import generalized_rspmm_maxmin
+
+    ei, et, w, rel, rel_b, x, _ = make_graph(rng, V=37, E=400)
+    V = x.shape[0]
+    layouts = build_rspmm_layouts(
+        ei, et, V, 6, tile_rows=16, tile_edges=32,
+        blocked=True, block_rows=16, bwd_block_rows=8,
+    )
+    keep = (rng.uniform(size=w.shape) > 0.3).astype(np.float32)
+    args = (jnp.asarray(ei), jnp.asarray(et), jnp.asarray(w * keep),
+            jnp.asarray(rel_b), jnp.asarray(x))
+
+    def loss_fused(r, xx):
+        mx, mn = generalized_rspmm_maxmin(
+            args[0], args[1], args[2], r, xx, msg=msg, num_nodes=V,
+            impl="pallas", layouts=layouts,
+        )
+        return jnp.sum(mx * jnp.sin(mx)) + jnp.sum(mn * jnp.cos(mn)), (mx, mn)
+
+    def loss_sep(r, xx):
+        mk = dict(msg=msg, num_nodes=V, impl="pallas", layouts=layouts)
+        mx = generalized_rspmm(args[0], args[1], args[2], r, xx,
+                               agg="max", **mk)
+        mn = generalized_rspmm(args[0], args[1], args[2], r, xx,
+                               agg="min", **mk)
+        return jnp.sum(mx * jnp.sin(mx)) + jnp.sum(mn * jnp.cos(mn)), (mx, mn)
+
+    (_, (mx_f, mn_f)), g_f = jax.value_and_grad(
+        loss_fused, argnums=(0, 1), has_aux=True)(args[3], args[4])
+    (_, (mx_s, mn_s)), g_s = jax.value_and_grad(
+        loss_sep, argnums=(0, 1), has_aux=True)(args[3], args[4])
+    np.testing.assert_array_equal(np.asarray(mx_f), np.asarray(mx_s))
+    np.testing.assert_array_equal(np.asarray(mn_f), np.asarray(mn_s))
+    # grads reassociate rel*(g_mx_sel + g_mn_sel) vs rel*a + rel*b — ulp-
+    # level only (the equality gates themselves see identical values)
+    for a, b in zip(g_f, g_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-5)
+
+    # and the xla oracle agrees on values (grad conventions differ on ties)
+    want_mx = generalized_rspmm(*args, msg=msg, agg="max", num_nodes=V,
+                                impl="xla")
+    want_mn = generalized_rspmm(*args, msg=msg, agg="min", num_nodes=V,
+                                impl="xla")
+    np.testing.assert_allclose(np.asarray(mx_f), np.asarray(want_mx),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mn_f), np.asarray(want_mn),
+                               rtol=1e-5, atol=1e-5)

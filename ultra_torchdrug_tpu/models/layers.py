@@ -36,7 +36,7 @@ from ..nn.core import (
     mlp_apply,
     mlp_init,
 )
-from ..ops.rspmm import generalized_rspmm
+from ..ops.rspmm import generalized_rspmm, generalized_rspmm_maxmin
 
 EPS = 1e-6
 
@@ -217,6 +217,34 @@ def conv_apply(
         # the backward pass skips re-running the gather kernels
         return checkpoint_name(out, "rspmm_out")
 
+    def spmm_maxmin(relation, xx):
+        """pna's extremum pair: one fused kernel pass for both (max, min)
+        when the single-chip blocked Pallas path applies — one x stream and
+        one message compute feed both extrema, and the backward shares the
+        argext recompute (ops/rspmm.py::generalized_rspmm_maxmin). Every
+        other route (xla, ring, sharded, rotate, edge_grad, dense) keeps
+        the two-call semantics."""
+        impl = cfg.rspmm_impl
+        if impl == "ring":
+            impl = "pallas" if graph.layouts is not None else "xla"
+        fused = (
+            cfg.message_func in ("transe", "distmult")
+            and impl == "pallas" and not edge_grad and not cfg.edge_axis
+            and graph.layouts is not None
+            and getattr(graph.layouts, "fwd_blk", None) is not None
+        )
+        if not fused:
+            return spmm(relation, xx, "max"), spmm(relation, xx, "min")
+        msg = {"transe": "add", "distmult": "mul"}[cfg.message_func]
+        mx, mn = generalized_rspmm_maxmin(
+            graph.edge_index, graph.edge_type, graph.edge_weight,
+            _broadcast_rel_flat(relation, B), xx,
+            msg=msg, num_nodes=graph.num_nodes, impl="pallas",
+            layouts=graph.layouts,
+        )
+        return (checkpoint_name(mx, "rspmm_out"),
+                checkpoint_name(mn, "rspmm_out"))
+
     def _spmm_raw(relation, xx, agg):
         """xx: flat [Vrows, B*D]; returns flat [Vrows, B*D]."""
         if cfg.message_func == "rotate":
@@ -362,8 +390,7 @@ def conv_apply(
             sq = spmm(rel, x, "sq_add")
         else:
             sq = spmm(rel**2, x**2, "add")
-        mx = spmm(rel, x, "max")
-        mn = spmm(rel, x, "min")
+        mx, mn = spmm_maxmin(rel, x)
         if bounded:
             mean = (s + boundary) / degree
             sq_mean = (sq + boundary**2) / degree

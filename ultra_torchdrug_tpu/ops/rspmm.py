@@ -227,6 +227,77 @@ def _make_rspmm_minmax(msg: str, agg: str, num_nodes: int):
     return rspmm
 
 
+@lru_cache(maxsize=None)
+def _make_rspmm_maxmin_pair(msg: str, num_nodes: int):
+    """custom-VJP fused max+min rspmm (the pna aggregate issues both on the
+    same operands): forward runs ONE blocked kernel producing both extrema
+    from a single x stream + message compute; backward runs ONE 4-plane
+    argext pass sharing the message recompute between the two equality
+    gates. Bitwise identical to separate max and min calls."""
+
+    def fwd_impl(edge_weight, relation, x, layouts):
+        from .rspmm_pallas import rspmm_fwd_pallas_maxmin
+
+        return rspmm_fwd_pallas_maxmin(
+            layouts, edge_weight, relation, x, msg=msg, num_nodes=num_nodes
+        )
+
+    @jax.custom_vjp
+    def rspmm(edge_weight, relation, x, layouts):
+        return fwd_impl(edge_weight, relation, x, layouts)
+
+    def rspmm_fwd(edge_weight, relation, x, layouts):
+        mx, mn = fwd_impl(edge_weight, relation, x, layouts)
+        return (mx, mn), (edge_weight, relation, x, mx, mn, layouts)
+
+    def rspmm_bwd(res, g):
+        edge_weight, relation, x, mx, mn, layouts = res
+        g_mx, g_mn = g
+        from .rspmm_pallas import rspmm_bwd_pallas_maxmin
+
+        dr, dx = rspmm_bwd_pallas_maxmin(
+            layouts, edge_weight, relation, x, mx, mn, g_mx, g_mn, msg=msg
+        )
+        dlay = None if layouts is None else _zeros_cotangent(layouts)
+        return jnp.zeros_like(edge_weight), dr, dx, dlay
+
+    rspmm.defvjp(rspmm_fwd, rspmm_bwd)
+    return rspmm
+
+
+def generalized_rspmm_maxmin(
+    edge_index,
+    edge_type,
+    edge_weight,
+    relation,
+    x,
+    *,
+    msg: str = "mul",
+    num_nodes: int,
+    impl: str = "xla",
+    layouts=None,
+    edge_grad: bool = False,
+):
+    """(max, min) aggregations of the same messages in one fused pass when
+    the blocked Pallas layouts are available — the pna aggregate's extremum
+    pair (models/layers.py) — otherwise two generalized_rspmm calls.
+    Returns (out_max, out_min)."""
+    fused = (impl == "pallas" and not edge_grad and msg in ("mul", "add")
+             and layouts is not None
+             and getattr(layouts, "fwd_blk", None) is not None)
+    if fused:
+        fn = _make_rspmm_maxmin_pair(msg, int(num_nodes))
+        return fn(edge_weight, relation, x, layouts)
+    mk = dict(msg=msg, num_nodes=num_nodes, impl=impl, layouts=layouts,
+              edge_grad=edge_grad)
+    return (
+        generalized_rspmm(edge_index, edge_type, edge_weight, relation, x,
+                          agg="max", **mk),
+        generalized_rspmm(edge_index, edge_type, edge_weight, relation, x,
+                          agg="min", **mk),
+    )
+
+
 def generalized_rspmm(
     edge_index,
     edge_type,

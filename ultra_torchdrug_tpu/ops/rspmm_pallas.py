@@ -442,10 +442,23 @@ def _kernel_bwd_fused_vmem(
     cr_ref, meta_hbm, w_hbm, g_ref, rel_ref, x_ref, dx_ref, dr_ref,
     mbuf, wbuf, msems, wsems, mark_ref, xrow_ref, *rest, mode: str,
     num_chunks: int, packed: bool = False, manual_stream: bool = False,
+    argext: bool = False, argext_pair: bool = False,
 ):
-    assert mode in ("mul", "rotate"), (
-        "fused backward covers distmult/rotate (transe rides gather1)"
-    )
+    if argext or argext_pair:
+        # blocked argext backward for max/min: the streamed dst blocks carry
+        # PACKED (g, saved-extremum) row pairs — read(gi) returns [2, ft,
+        # lane] (or [4, ...] for the fused max+min pair: g_max, out_max,
+        # g_min, out_min). An edge flows gradient only on lanes where its
+        # recomputed message equals the extremum (template D's convention);
+        # padding and weight-0 edges die through the w factor, so no
+        # valid-flag read. The pair variant shares the message recompute and
+        # the dx/dr flows between both extrema — their equality-gated
+        # gradients just sum before the rel/x multiplies.
+        assert mode in ("mul", "add") and manual_stream
+    else:
+        assert mode in ("mul", "rotate"), (
+            "fused backward covers distmult/rotate (transe rides gather1)"
+        )
     if manual_stream:
         gblk, gsems = rest
     c = pl.program_id(0)
@@ -511,15 +524,32 @@ def _kernel_bwd_fused_vmem(
                 mark_ref[...] = total
                 xrow_ref[...] = x_ref[d]
 
-            # transe's d_input/d_relation ride the gather1 path instead
-            gw = grow.astype(jnp.float32) * w
-            if mode == "rotate":
-                # dx = conj(rel) (x) g ; dr = conj(x) (x) g
-                dx_msg = _cplx_conj_mul(rel_ref[r].astype(jnp.float32), gw)
-                dr_msg = _cplx_conj_mul(xrow_ref[...].astype(jnp.float32), gw)
+            if argext or argext_pair:
+                # recompute the forward message EXACTLY (bitwise) and gate
+                # the gradient on equality with the saved extremum
+                if mode == "mul":
+                    msg = (rel_ref[r] * xrow_ref[...]).astype(jnp.float32) * w
+                else:
+                    msg = (rel_ref[r] + xrow_ref[...]).astype(jnp.float32) * w
+                gws = jnp.where(msg == grow[1], grow[0] * w, 0.0)
+                if argext_pair:
+                    gws = gws + jnp.where(msg == grow[3], grow[2] * w, 0.0)
+                if mode == "mul":
+                    dx_msg = rel_ref[r].astype(jnp.float32) * gws
+                    dr_msg = xrow_ref[...].astype(jnp.float32) * gws
+                else:
+                    dx_msg = gws
+                    dr_msg = gws
             else:
-                dx_msg = rel_ref[r].astype(jnp.float32) * gw
-                dr_msg = xrow_ref[...].astype(jnp.float32) * gw
+                # transe's d_input/d_relation ride the gather1 path instead
+                gw = grow.astype(jnp.float32) * w
+                if mode == "rotate":
+                    # dx = conj(rel) (x) g ; dr = conj(x) (x) g
+                    dx_msg = _cplx_conj_mul(rel_ref[r].astype(jnp.float32), gw)
+                    dr_msg = _cplx_conj_mul(xrow_ref[...].astype(jnp.float32), gw)
+                else:
+                    dx_msg = rel_ref[r].astype(jnp.float32) * gw
+                    dr_msg = xrow_ref[...].astype(jnp.float32) * gw
             accs[j] = accs[j] + dx_msg
             dr_ref[pl.ds(r, 1)] = dr_ref[pl.ds(r, 1)] + dr_msg[None]
             d_prev = d
@@ -535,6 +565,111 @@ def _kernel_bwd_fused_vmem(
     dx_ref[pl.ds(d_last, 1)] = (
         dx_ref[pl.ds(d_last, 1)] + (total - mark_ref[...])[None]
     )
+
+
+def _kernel_gather_maxmin_vmem(
+    cr_ref, meta_hbm, w_hbm, data_ref, rel_ref, omx_ref, omn_ref,
+    mbuf, wbuf, msems, wsems, xblk, xsems,
+    *, mode: str, num_chunks: int, packed: bool = False,
+):
+    """Fused max+min forward over the blocked-source layout: ONE stream of x
+    blocks and one message compute feed BOTH extrema (pna's aggregate issues
+    max and min on the same (relation, x) — the reference runs two full
+    kernel passes there, /root/reference/ultra/layer.py:154-178). Row tags
+    are shared between the two accumulator sets (both flush at the same row
+    changes); per-edge extra cost over a single extremum is one select and
+    one combine, vs a full second stream + message recompute for two passes.
+    Results are bitwise identical to separate max and min kernels (combine
+    order never changes extrema), so the argext backward's
+    recompute-equality applies unchanged to each output."""
+    c = pl.program_id(0)
+    slot = jax.lax.rem(c, 2)
+    nxt = jax.lax.rem(c + 1, 2)
+
+    @pl.when(cr_ref[0, c] != cr_ref[1, c])
+    def _():
+        omx_ref[...] = jnp.full_like(omx_ref, -_BIG)
+        omn_ref[...] = jnp.full_like(omn_ref, _BIG)
+
+    @pl.when(c == 0)
+    def _():
+        md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, 0, 0)
+        md.start()
+        wd.start()
+
+    md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c, slot)
+    md.wait()
+    wd.wait()
+
+    @pl.when(c + 1 < num_chunks)
+    def _():
+        md2, wd2 = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c + 1, nxt)
+        md2.start()
+        wd2.start()
+
+    bslot = _stream_preamble(cr_ref, data_ref, xblk, xsems, c)
+    te = mbuf.shape[-1]
+
+    def body(q, carry):
+        d_prev, *state = carry
+        amx = list(state[:NACC])
+        amn = list(state[NACC : 2 * NACC])
+        tags = list(state[2 * NACC :])
+        for j in range(NACC):
+            i = q * NACC + j
+            gi, ai, d = _decode_meta(mbuf, slot, i, packed)
+            xrow = xblk[bslot, gi]
+            w = wbuf[slot, 0, i]
+            if mode == "mul_rel":
+                msg = rel_ref[ai] * xrow
+            else:
+                msg = rel_ref[ai] + xrow
+            msg = msg.astype(jnp.float32) * w
+            valid = mbuf[slot, 3, i] != 0
+            mmx = jnp.where(valid, msg, -_BIG)
+            mmn = jnp.where(valid, msg, _BIG)
+            flush = d != d_prev
+
+            @pl.when(flush)
+            def _(d_prev=d_prev, amx=tuple(amx), amn=tuple(amn),
+                  tags=tuple(tags)):
+                tmx = jnp.full(omx_ref.shape[1:], -_BIG, jnp.float32)
+                tmn = jnp.full(omn_ref.shape[1:], _BIG, jnp.float32)
+                for k in range(NACC):
+                    sel = tags[k] == d_prev
+                    tmx = jnp.maximum(tmx, jnp.where(sel, amx[k], -_BIG))
+                    tmn = jnp.minimum(tmn, jnp.where(sel, amn[k], _BIG))
+                omx_ref[pl.ds(d_prev, 1)] = jnp.maximum(
+                    omx_ref[pl.ds(d_prev, 1)], tmx[None]
+                )
+                omn_ref[pl.ds(d_prev, 1)] = jnp.minimum(
+                    omn_ref[pl.ds(d_prev, 1)], tmn[None]
+                )
+
+            reuse = d == tags[j]
+            amx[j] = jnp.where(reuse, jnp.maximum(amx[j], mmx), mmx)
+            amn[j] = jnp.where(reuse, jnp.minimum(amn[j], mmn), mmn)
+            tags[j] = d
+            d_prev = d
+        return (d_prev, *amx, *amn, *tags)
+
+    zmx = jnp.full(omx_ref.shape[1:], -_BIG, jnp.float32)
+    zmn = jnp.full(omn_ref.shape[1:], _BIG, jnp.float32)
+    d_last, *state = jax.lax.fori_loop(
+        0, te // NACC, body,
+        (0,) + (zmx,) * NACC + (zmn,) * NACC + (jnp.int32(-1),) * NACC,
+    )
+    amx = state[:NACC]
+    amn = state[NACC : 2 * NACC]
+    tags = state[2 * NACC :]
+    tmx = jnp.full(omx_ref.shape[1:], -_BIG, jnp.float32)
+    tmn = jnp.full(omn_ref.shape[1:], _BIG, jnp.float32)
+    for k in range(NACC):
+        sel = tags[k] == d_last
+        tmx = jnp.maximum(tmx, jnp.where(sel, amx[k], -_BIG))
+        tmn = jnp.minimum(tmn, jnp.where(sel, amn[k], _BIG))
+    omx_ref[pl.ds(d_last, 1)] = jnp.maximum(omx_ref[pl.ds(d_last, 1)], tmx[None])
+    omn_ref[pl.ds(d_last, 1)] = jnp.minimum(omn_ref[pl.ds(d_last, 1)], tmn[None])
 
 
 # ---------------------------------------------------------------------------
@@ -1174,6 +1309,115 @@ def rspmm_gather1(
     return out[:, :F]
 
 
+def rspmm_gather_maxmin(
+    data: jnp.ndarray,
+    relation: jnp.ndarray,
+    w_chunks: jnp.ndarray,
+    layout: CsrLayout,
+    index_chunks,
+    mode: str,
+    interpret: Optional[bool] = None,
+):
+    """Fused max+min forward over the BLOCKED (fwd_blk) layout: one x-block
+    stream and one message compute produce both extrema
+    (_kernel_gather_maxmin_vmem). f32 only (argext backward equality).
+    Returns (out_max, out_min), each [padded_rows, F] pre-masking (empty
+    rows come back -+_BIG — callers mask to 0)."""
+    interpret = _interpret_default() if interpret is None else interpret
+    assert layout.block_rows > 0, "fused maxmin needs a blocked layout"
+    assert mode in ("mul_rel", "add_rel"), mode
+    data = data.astype(jnp.float32)
+    relation = relation.astype(jnp.float32)
+    V, F = data.shape
+    F_pad = _pad_lane(F)
+    te = layout.tile_edges
+    tv = layout.tile_rows
+    if F_pad != F:
+        data = jnp.pad(data, ((0, 0), (0, F_pad - F)))
+        relation = jnp.pad(relation, ((0, 0), (0, F_pad - F)))
+    r_pad = -(-relation.shape[0] // 8) * 8
+    if r_pad != relation.shape[0]:
+        relation = jnp.pad(relation, ((0, r_pad - relation.shape[0]), (0, 0)))
+    rel_rows = relation.shape[0]
+
+    packed = _packed_ok(layout, rel_rows)
+    if packed:
+        meta = _pack_meta_packed(layout, index_chunks, layout.aux)
+    else:
+        meta = _pack_meta(layout, index_chunks, layout.aux)
+    w3 = w_chunks[:, None, :]
+    vg = layout.padded_gather_rows
+    if data.shape[0] < vg:
+        data = jnp.pad(data, ((0, vg - data.shape[0]), (0, 0)))
+    # two output tiles + streamed block (double-buffered) + relation
+    per_f = rel_rows + 4 * tv + 2 * layout.block_rows + 16
+    tf = max(_LANE, ((80 * 1024 * 1024 // 4) // per_f) // _LANE * _LANE)
+    tf = min(F_pad, tf)
+
+    kernel = functools.partial(
+        _kernel_gather_maxmin_vmem, mode=mode,
+        num_chunks=layout.num_chunks, packed=packed,
+    )
+    mx_pieces, mn_pieces = [], []
+    for f0 in range(0, F_pad, tf):
+        fw = min(tf, F_pad - f0)
+        ft = fw // _LANE
+        data_f = data[:, f0 : f0 + fw].reshape(
+            -1, layout.block_rows, ft, _LANE
+        )
+        scratch = [
+            pltpu.SMEM((2, 4, te), jnp.int32),
+            pltpu.SMEM((2, 1, te), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, layout.block_rows, ft, _LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(layout.num_chunks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # meta
+                pl.BlockSpec(memory_space=pl.ANY),  # weights
+                pl.BlockSpec(memory_space=pl.ANY),  # blocked x stream
+                pl.BlockSpec((rel_rows, ft, _LANE), lambda c, cr: (0, 0, 0),
+                             memory_space=pltpu.VMEM),  # relation
+            ],
+            out_specs=(
+                pl.BlockSpec((tv, ft, _LANE), lambda c, cr: (cr[0, c], 0, 0),
+                             memory_space=pltpu.VMEM),  # max
+                pl.BlockSpec((tv, ft, _LANE), lambda c, cr: (cr[0, c], 0, 0),
+                             memory_space=pltpu.VMEM),  # min
+            ),
+            scratch_shapes=scratch,
+        )
+        mx_p, mn_p = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct(
+                    (layout.padded_rows, ft, _LANE), jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (layout.padded_rows, ft, _LANE), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            layout.cr_pairs,
+            meta,
+            w3,
+            data_f,
+            relation[:, f0 : f0 + fw].reshape(rel_rows, ft, _LANE),
+        )
+        mx_pieces.append(mx_p.reshape(layout.padded_rows, fw))
+        mn_pieces.append(mn_p.reshape(layout.padded_rows, fw))
+    mx = mx_pieces[0] if len(mx_pieces) == 1 else jnp.concatenate(mx_pieces, 1)
+    mn = mn_pieces[0] if len(mn_pieces) == 1 else jnp.concatenate(mn_pieces, 1)
+    return mx[:, :F], mn[:, :F]
+
+
 def rspmm_bwd_fused(
     x_flat: jnp.ndarray,
     g_flat: jnp.ndarray,
@@ -1492,6 +1736,144 @@ def rspmm_bwd_minmax(
     return dx[:, :F], dr[:, :F]
 
 
+def rspmm_bwd_minmax_blk(
+    x_flat: jnp.ndarray,
+    g_flat: jnp.ndarray,
+    out_flat: jnp.ndarray,
+    relation_flat: jnp.ndarray,
+    w_chunks: jnp.ndarray,
+    layout: CsrLayout,
+    mode: str,
+    interpret: Optional[bool] = None,
+    g2_flat: Optional[jnp.ndarray] = None,
+    out2_flat: Optional[jnp.ndarray] = None,
+):
+    """Blocked-destination argext backward for max/min over the src-sorted
+    BLOCKED layout (rev_blk): g and the saved forward extremum stream as
+    packed [block_rows, 2, ft, lane] dst blocks a bucket ahead of use
+    (_stream_preamble) — zero per-edge DMAs, where template D pays a packed
+    [2, ft, lane] gather DMA per edge (the measured bottleneck: the per-edge
+    minmax backward streams 2x the fused add backward's gather bytes).
+    f32 only (recompute equality must reproduce the forward bit-for-bit).
+    Returns (dx [padded_rows, F], dr [R_pad, F])."""
+    interpret = _interpret_default() if interpret is None else interpret
+    assert layout.block_rows > 0, "needs a blocked (rev_blk) layout"
+    pair = g2_flat is not None
+    planes = [g_flat, out_flat] + ([g2_flat, out2_flat] if pair else [])
+    planes = [p.astype(jnp.float32) for p in planes]
+    x_flat = x_flat.astype(jnp.float32)
+    relation_flat = relation_flat.astype(jnp.float32)
+    V, F = x_flat.shape
+    F_pad = _pad_lane(F)
+    te, tv = layout.tile_edges, layout.tile_rows
+    if F_pad != F:
+        x_flat = jnp.pad(x_flat, ((0, 0), (0, F_pad - F)))
+        planes = [jnp.pad(p, ((0, 0), (0, F_pad - F))) for p in planes]
+        relation_flat = jnp.pad(relation_flat, ((0, 0), (0, F_pad - F)))
+    r_pad = -(-relation_flat.shape[0] // 8) * 8
+    if r_pad != relation_flat.shape[0]:
+        relation_flat = jnp.pad(
+            relation_flat, ((0, r_pad - relation_flat.shape[0]), (0, 0))
+        )
+    if x_flat.shape[0] < layout.padded_rows:
+        x_flat = jnp.pad(
+            x_flat, ((0, layout.padded_rows - x_flat.shape[0]), (0, 0))
+        )
+    vg = layout.padded_gather_rows
+    planes = [
+        jnp.pad(p, ((0, vg - p.shape[0]), (0, 0))) if p.shape[0] < vg
+        else p[:vg]
+        for p in planes
+    ]
+    np_ = len(planes)
+
+    packed = _packed_ok(layout, r_pad)
+    if packed:
+        meta = _pack_meta_packed(layout, layout.gather1, layout.aux)
+    else:
+        meta = _pack_meta(layout, layout.gather1, layout.aux)
+    w3 = w_chunks[:, None, :]
+    # the packed (g, out) planes multiply the streamed-block VMEM: F=4096
+    # runs in multiple feature passes (each repays the per-edge scalar
+    # decode; the streamed bytes per pass shrink, so total stream traffic
+    # is unchanged)
+    per_f = 2 * r_pad + 4 * tv + 2 * np_ * layout.block_rows + 16
+    tf = max(_LANE, ((96 * 1024 * 1024 // 4) // per_f) // _LANE * _LANE)
+    tf = min(F_pad, tf)
+
+    kernel = functools.partial(
+        _kernel_bwd_fused_vmem, mode=mode, num_chunks=layout.num_chunks,
+        packed=packed, manual_stream=True,
+        argext=not pair, argext_pair=pair,
+    )
+    dx_pieces, dr_pieces = [], []
+    for f0 in range(0, F_pad, tf):
+        fw = min(tf, F_pad - f0)
+        ft = fw // _LANE
+        # [num_blocks, block_rows, np, ft, lane]: one block DMA streams the
+        # upstream gradient(s) and saved extremum(-a) for the dst block
+        go = jnp.stack(
+            [p[:, f0 : f0 + fw].reshape(-1, layout.block_rows, ft, _LANE)
+             for p in planes],
+            axis=2,
+        )
+        scratch = [
+            pltpu.SMEM((2, 4, te), jnp.int32),
+            pltpu.SMEM((2, 1, te), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((ft, _LANE), jnp.float32),   # telescoping mark
+            pltpu.VMEM((ft, _LANE), jnp.float32),   # current src x row
+            pltpu.VMEM((2, layout.block_rows, np_, ft, _LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(layout.num_chunks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # meta
+                pl.BlockSpec(memory_space=pl.ANY),  # weights
+                pl.BlockSpec(memory_space=pl.ANY),  # packed (g, out) blocks
+                pl.BlockSpec((r_pad, ft, _LANE), lambda c, cr: (0, 0, 0),
+                             memory_space=pltpu.VMEM),  # relation
+                pl.BlockSpec((tv, ft, _LANE), lambda c, cr: (cr[0, c], 0, 0),
+                             memory_space=pltpu.VMEM),  # x row-tile block
+            ],
+            out_specs=(
+                pl.BlockSpec((tv, ft, _LANE), lambda c, cr: (cr[0, c], 0, 0),
+                             memory_space=pltpu.VMEM),  # dx
+                pl.BlockSpec((r_pad, ft, _LANE), lambda c, cr: (0, 0, 0),
+                             memory_space=pltpu.VMEM),  # dr accumulator
+            ),
+            scratch_shapes=scratch,
+        )
+        dx_p, dr_p = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct(
+                    (layout.padded_rows, ft, _LANE), jnp.float32),
+                jax.ShapeDtypeStruct((r_pad, ft, _LANE), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=112 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            layout.cr_pairs,
+            meta,
+            w3,
+            go,
+            relation_flat[:, f0 : f0 + fw].reshape(r_pad, ft, _LANE),
+            x_flat[:, f0 : f0 + fw].reshape(layout.padded_rows, ft, _LANE),
+        )
+        dx_pieces.append(dx_p.reshape(layout.padded_rows, fw))
+        dr_pieces.append(dr_p.reshape(r_pad, fw))
+    dx = dx_pieces[0] if len(dx_pieces) == 1 else jnp.concatenate(dx_pieces, 1)
+    dr = dr_pieces[0] if len(dr_pieces) == 1 else jnp.concatenate(dr_pieces, 1)
+    return dx[:, :F], dr[:, :F]
+
+
 # ---------------------------------------------------------------------------
 # high-level entry points (flattened [*, F] views of [V, B, D] operands)
 # ---------------------------------------------------------------------------
@@ -1594,17 +1976,25 @@ def rspmm_fwd_pallas(layouts, edge_weight, relation, x, *, msg, num_nodes,
         x_flat = _flat(x)
         rel_flat = _rel_flat(relation, B)
     mode = "mul_rel" if msg == "mul" else "add_rel"
-    if agg == "add" and getattr(layouts, "fwd_blk", None) is not None:
-        # blocked-source streaming: no per-edge DMAs, no hot split needed.
-        # add only — max/min measured SLOWER blocked (78 vs 73 ms at the
-        # bench shape): the extremum body flushes per output row, and the
-        # blocked bucketing shortens same-row runs to ~2 edges where the
-        # dst-sorted DMA layout has ~36
+    # blocked-source streaming: no per-edge DMAs, no hot split needed.
+    # All aggregations since round 4: with the old serial extremum body
+    # blocked max/min measured SLOWER (78 vs 73 ms: bucketing shortens
+    # same-row runs to ~2 edges vs the dst-sorted layout's ~36 and the
+    # flush branch dominated), but the tag-multiacc body flipped that —
+    # blocked max fwd 19.2 ms vs 23.8 per-edge DMA at the bench shape.
+    # RSPMM_MINMAX_BLOCKED=0 forces the per-edge DMA + hot-split path.
+    blocked_ok = (agg == "add"
+                  or os.environ.get("RSPMM_MINMAX_BLOCKED") != "0")
+    if blocked_ok and getattr(layouts, "fwd_blk", None) is not None:
         lay = layouts.fwd_blk
         out = rspmm_gather1(
             x_flat, rel_flat, _weight_chunks(edge_weight, lay), lay,
             lay.gather1, mode=mode, compute_dtype=compute_dtype, agg=agg,
         )
+        if agg == "max":
+            out = jnp.where(out <= -_BIG / 2, 0.0, out)
+        elif agg == "min":
+            out = jnp.where(out >= _BIG / 2, 0.0, out)
         out = out[:num_nodes]
         return out if flat_in else out.reshape(num_nodes, *x.shape[1:])
     out = rspmm_gather1(
@@ -1730,6 +2120,29 @@ def rspmm_bwd_pallas_minmax(layouts, edge_weight, relation, x, out, g, *, msg):
     out_flat = _flat(out)
     rel_flat = relation if flat_in else _rel_flat(relation, x.shape[1])
     mode = "mul" if msg == "mul" else "add"
+    # Blocked-destination streaming for the argext backward measured SLOWER
+    # than the per-edge packed gathers + hot split (42.9 vs 38.2 ms at the
+    # bench shape): the rev blocked bucketing shortens same-src runs to ~1-2
+    # (flush-heavy) and the packed (g, out) pair doubles the streamed block
+    # bytes AND forces two feature passes at F=4096. The per-edge path sits
+    # at its own roofline (2x the add backward's gather bytes -> 2x its
+    # time). Kept behind RSPMM_MINMAX_BLOCKED_BWD=1 for re-evaluation on
+    # future hardware.
+    if (os.environ.get("RSPMM_MINMAX_BLOCKED_BWD") == "1"
+            and getattr(layouts, "rev_blk", None) is not None):
+        dx_flat, dr_flat = rspmm_bwd_minmax_blk(
+            _flat(x), g_flat, out_flat, rel_flat,
+            _weight_chunks(edge_weight, layouts.rev_blk),
+            layouts.rev_blk, mode=mode,
+        )
+        dx = dx_flat[: x.shape[0]].reshape(x.shape)
+        R = relation.shape[0]
+        if flat_in:
+            return dr_flat[:R], dx
+        dr = dr_flat[:R].reshape(R, *x.shape[1:])
+        if relation.ndim == 2:  # shared relation: sum over batch
+            dr = dr.sum(axis=1)
+        return dr, dx
     dx_flat, dr_flat = rspmm_bwd_minmax(
         _flat(x), g_flat, out_flat, rel_flat,
         _weight_chunks(edge_weight, layouts.rev),
@@ -1744,6 +2157,67 @@ def rspmm_bwd_pallas_minmax(layouts, edge_weight, relation, x, out, g, *, msg):
         )
         dx_flat = dx_flat + dx_h
         dr_flat = dr_flat + dr_h
+    dx = dx_flat[: x.shape[0]].reshape(x.shape)
+    R = relation.shape[0]
+    if flat_in:
+        return dr_flat[:R], dx
+    dr = dr_flat[:R].reshape(R, *x.shape[1:])
+    if relation.ndim == 2:  # shared relation: sum over batch
+        dr = dr.sum(axis=1)
+    return dr, dx
+
+
+def rspmm_fwd_pallas_maxmin(layouts, edge_weight, relation, x, *, msg,
+                            num_nodes):
+    """Fused max+min forward (both extrema from one stream — see
+    _kernel_gather_maxmin_vmem). Requires blocked layouts (fwd_blk);
+    msg in ('mul', 'add'). Returns (out_max, out_min) shaped like x rows,
+    empty rows masked to 0 (the single-kernel convention)."""
+    lay = getattr(layouts, "fwd_blk", None)
+    assert lay is not None, "fused maxmin needs blocked layouts (fwd_blk)"
+    flat_in = x.ndim == 2
+    if flat_in:
+        x_flat, rel_flat = x, relation
+    else:
+        B = x.shape[1]
+        x_flat = _flat(x)
+        rel_flat = _rel_flat(relation, B)
+    mode = "mul_rel" if msg == "mul" else "add_rel"
+    mx, mn = rspmm_gather_maxmin(
+        x_flat, rel_flat, _weight_chunks(edge_weight, lay), lay, lay.gather1,
+        mode=mode,
+    )
+    mx = jnp.where(mx <= -_BIG / 2, 0.0, mx)[:num_nodes]
+    mn = jnp.where(mn >= _BIG / 2, 0.0, mn)[:num_nodes]
+    if flat_in:
+        return mx, mn
+    shp = (num_nodes,) + x.shape[1:]
+    return mx.reshape(shp), mn.reshape(shp)
+
+
+def rspmm_bwd_pallas_maxmin(layouts, edge_weight, relation, x, out_mx,
+                            out_mn, g_mx, g_mn, *, msg):
+    """Fused argext backward for the max+min pair: ONE pass over the blocked
+    src-sorted layout streams (g_max, out_max, g_min, out_min) as packed
+    4-plane dst blocks, shares the message recompute between both equality
+    gates, and sums the gated gradients before the dx/dr multiplies.
+    Falls back to two single-extremum backward passes when blocked layouts
+    are absent. Returns (d_relation, d_input) = sums over both outputs."""
+    if getattr(layouts, "rev_blk", None) is None:
+        dr1, dx1 = rspmm_bwd_pallas_minmax(
+            layouts, edge_weight, relation, x, out_mx, g_mx, msg=msg)
+        dr2, dx2 = rspmm_bwd_pallas_minmax(
+            layouts, edge_weight, relation, x, out_mn, g_mn, msg=msg)
+        return dr1 + dr2, dx1 + dx2
+    flat_in = x.ndim == 2
+    rel_flat = relation if flat_in else _rel_flat(relation, x.shape[1])
+    mode = "mul" if msg == "mul" else "add"
+    rev = layouts.rev_blk
+    dx_flat, dr_flat = rspmm_bwd_minmax_blk(
+        _flat(x), _flat(g_mx), _flat(out_mx), rel_flat,
+        _weight_chunks(edge_weight, rev), rev, mode=mode,
+        g2_flat=_flat(g_mn), out2_flat=_flat(out_mn),
+    )
     dx = dx_flat[: x.shape[0]].reshape(x.shape)
     R = relation.shape[0]
     if flat_in:
