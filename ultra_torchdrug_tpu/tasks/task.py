@@ -179,32 +179,46 @@ class _TaskBase:
         stack="auto": unrolled layer stack on TPU (no scan carry-stack
         dynamic-update-slices; XLA fuses pads/copies across layers — the
         round-4 profile showed ~60 ms of scan machinery per step), lax.scan
-        elsewhere (one compiled layer body; CPU tests compile 6x faster)."""
+        elsewhere (one compiled layer body; CPU tests compile 6x faster).
+        Under FULL remat the unrolled backward's recompute zones schedule
+        loosely enough that XLA holds many [V, B*D] buffers live (a WN-scale
+        2000-step endurance run OOMed at 16.9 GB where scan ran the same
+        graph in-budget round 3) — so auto pairs unroll only with the
+        save-everything policies and keeps scan when remat is full."""
         cfg = self.model_cfg
         ent, rel = cfg.entity, cfg.relation
-        if ent.remat == "auto" or rel.remat == "auto":
-            L = len(ent.hidden_dims)
-            D = ent.input_dim
+
+        def resolve(tower, num_nodes):
+            L = len(tower.hidden_dims)
+            D = tower.input_dim
             full_peak = (
-                self._FULL_SAVE_PEAK_FACTOR
-                * L * fact_graph.num_nodes * batch * D * 4
+                self._FULL_SAVE_PEAK_FACTOR * L * num_nodes * batch * D * 4
             )
             if full_peak <= 0.7 * _hbm_bytes():
-                choice = False
-            elif fact_graph.num_nodes <= self._SAVE_RSPMM_MAX_NODES:
-                choice = "save_rspmm"
-            else:
-                choice = True
-            if ent.remat == "auto":
-                ent = dataclasses.replace(ent, remat=choice)
-            if rel.remat == "auto":
-                rel = dataclasses.replace(rel, remat=choice)
+                return False
+            if num_nodes <= self._SAVE_RSPMM_MAX_NODES:
+                return "save_rspmm"
+            return True
+
+        if ent.remat == "auto":
+            ent = dataclasses.replace(
+                ent, remat=resolve(ent, fact_graph.num_nodes))
+        if rel.remat == "auto":
+            # the relation tower propagates over the RELATION graph
+            # (2R nodes — full-save always fits there)
+            rel = dataclasses.replace(
+                rel, remat=resolve(rel, ent.num_relations))
         if ent.stack == "auto" or rel.stack == "auto":
-            stack = "unroll" if jax.default_backend() == "tpu" else "scan"
+            on_tpu = jax.default_backend() == "tpu"
+
+            def pick(tower):
+                full = tower.remat in (True, "full")
+                return "unroll" if on_tpu and not full else "scan"
+
             if ent.stack == "auto":
-                ent = dataclasses.replace(ent, stack=stack)
+                ent = dataclasses.replace(ent, stack=pick(ent))
             if rel.stack == "auto":
-                rel = dataclasses.replace(rel, stack=stack)
+                rel = dataclasses.replace(rel, stack=pick(rel))
         if ent is cfg.entity and rel is cfg.relation:
             return cfg
         return dataclasses.replace(cfg, entity=ent, relation=rel)
