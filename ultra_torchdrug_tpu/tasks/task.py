@@ -155,19 +155,18 @@ class _TaskBase:
         # scoring, max/min aggregations) fall back to the Pallas kernels
         return self.model_cfg.entity.rspmm_impl in ("pallas", "ring")
 
-    # V above which save_rspmm's extra per-layer [V, B*D] residuals no longer
-    # fit HBM at batch 64 (WN18RR-scale graphs OOMed a 16 GB chip in round 1;
-    # FB-scale is fine). Scaled by the actual device budget instead of
-    # hard-coding one chip's size.
-    @property
-    def _SAVE_RSPMM_MAX_NODES(self) -> int:
-        return int(25000 * (_hbm_bytes() / (16 << 30)))
-
     # full-save (remat=False) backward peak, calibrated on the FB-scale
     # measurement (script/diagnostics/step_breakdown_bwd.py round 4: XLA temp
     # 8.86 GB at V=14541, B=64, D=64, 6 layers, unrolled) — ~6.2x the naive
     # per-layer carry stack (kernel pads, dual-saved activations, fragments)
     _FULL_SAVE_PEAK_FACTOR = 6.2
+
+    # save_rspmm + scan backward peak in [V, B*D] units: L saved rspmm
+    # outputs + the L-deep scan carry stack + ~4 working copies. Calibrated
+    # against the WN-scale boundary (V=40943, B=64: 16 units = 10.7 GB ran
+    # in-budget on a 15.75 GB chip at 691 ms/step; unroll at the same
+    # policy OOMed, so save_rspmm always pairs with scan)
+    _SAVE_RSPMM_PEAK_UNITS = staticmethod(lambda L: 2 * L + 4)
 
     def _resolve_model_cfg(self, fact_graph: Graph, batch: int = 64) -> UltraConfig:
         """remat="auto": cheapest policy that fits, measured fastest-first —
@@ -191,12 +190,11 @@ class _TaskBase:
         def resolve(tower, num_nodes):
             L = len(tower.hidden_dims)
             D = tower.input_dim
-            full_peak = (
-                self._FULL_SAVE_PEAK_FACTOR * L * num_nodes * batch * D * 4
-            )
-            if full_peak <= 0.7 * _hbm_bytes():
+            unit = num_nodes * batch * D * 4
+            budget = 0.7 * _hbm_bytes()
+            if self._FULL_SAVE_PEAK_FACTOR * L * unit <= budget:
                 return False
-            if num_nodes <= self._SAVE_RSPMM_MAX_NODES:
+            if self._SAVE_RSPMM_PEAK_UNITS(L) * unit <= budget:
                 return "save_rspmm"
             return True
 
@@ -212,8 +210,13 @@ class _TaskBase:
             on_tpu = jax.default_backend() == "tpu"
 
             def pick(tower):
-                full = tower.remat in (True, "full")
-                return "unroll" if on_tpu and not full else "scan"
+                # unroll ONLY under full-save: any remat policy's unrolled
+                # recompute/save zones schedule loosely enough for XLA to
+                # hold many [V, B*D] buffers live (WN-scale OOMs measured
+                # for both full remat and save_rspmm under unroll; scan
+                # bounds the live set)
+                return "unroll" if on_tpu and tower.remat in (False, "none") \
+                    else "scan"
 
             if ent.stack == "auto":
                 ent = dataclasses.replace(ent, stack=pick(ent))
