@@ -113,3 +113,39 @@ def test_per_relation_breakdown():
     m = evaluate_ranking(ranking, ["mrr"], rel_index=rels, num_relations=2)
     assert abs(float(m["mrr_rel_0"]) - (1 + 0.5) / 2) < 1e-6
     assert abs(float(m["mrr_rel_1"]) - 0.25) < 1e-6
+
+
+def test_remat_auto_policy_tiers(monkeypatch):
+    """remat='auto' resolves by peak models (calibrated on real-TPU OOM
+    boundaries): FB-scale -> full-save + unroll (fastest), WN-scale ->
+    save_rspmm + scan (full-save and any-unroll exceed HBM), ATOMIC-scale ->
+    full remat + scan; the relation tower sizes off the RELATION graph (2R
+    nodes) and always full-saves."""
+    import dataclasses
+    import types
+    from ultra_torchdrug_tpu.tasks import task as task_mod
+    from ultra_torchdrug_tpu.models.ultra import UltraConfig
+
+    monkeypatch.setattr(task_mod, "_hbm_bytes", lambda: 16 << 30)
+    monkeypatch.setattr(task_mod.jax, "default_backend", lambda: "tpu")
+
+    t = object.__new__(task_mod.TransductiveKGTask)
+    cfg = UltraConfig.default(237)
+    t.model_cfg = dataclasses.replace(
+        cfg,
+        entity=dataclasses.replace(cfg.entity, remat="auto", stack="auto"),
+        relation=dataclasses.replace(cfg.relation, remat="auto", stack="auto"),
+    )
+
+    def fake_graph(v):
+        return types.SimpleNamespace(num_nodes=v)
+
+    fb = t._resolve_model_cfg(fake_graph(14541), 64)
+    assert fb.entity.remat is False and fb.entity.stack == "unroll"
+    wn = t._resolve_model_cfg(fake_graph(40943), 64)
+    assert wn.entity.remat == "save_rspmm" and wn.entity.stack == "scan"
+    atomic = t._resolve_model_cfg(fake_graph(304388), 64)
+    assert atomic.entity.remat is True and atomic.entity.stack == "scan"
+    for resolved in (fb, wn, atomic):
+        assert resolved.relation.remat is False  # 2R-node relation graph
+        assert resolved.relation.stack == "unroll"
