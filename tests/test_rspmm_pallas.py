@@ -762,3 +762,46 @@ def test_pallas_fused_maxmin_pair(rng, msg):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(mn_f), np.asarray(want_mn),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_fused_addsq_pair(rng):
+    """generalized_rspmm_addsq over blocked layouts: one kernel yields
+    (sum, sum-of-squares) and one moments backward both gradients — equal
+    to the two-call formulation spmm(rel,x,add) + spmm(rel^2,x^2,add)
+    within fp reassociation tolerance, fwd and grad."""
+    from ultra_torchdrug_tpu.ops.rspmm import generalized_rspmm_addsq
+
+    ei, et, w, rel, rel_b, x, _ = make_graph(rng, V=37, E=400)
+    V = x.shape[0]
+    layouts = build_rspmm_layouts(
+        ei, et, V, 6, tile_rows=16, tile_edges=32,
+        blocked=True, block_rows=16, bwd_block_rows=8,
+    )
+    keep = (rng.uniform(size=w.shape) > 0.3).astype(np.float32)
+    args = (jnp.asarray(ei), jnp.asarray(et), jnp.asarray(w * keep),
+            jnp.asarray(rel_b), jnp.asarray(x))
+
+    def loss_fused(r, xx):
+        s, sq = generalized_rspmm_addsq(
+            args[0], args[1], args[2], r, xx, num_nodes=V,
+            impl="pallas", layouts=layouts,
+        )
+        return jnp.sum(s * jnp.sin(s)) + jnp.sum(sq * jnp.cos(sq)), (s, sq)
+
+    def loss_sep(r, xx):
+        mk = dict(msg="mul", agg="add", num_nodes=V, impl="xla")
+        s = generalized_rspmm(args[0], args[1], args[2], r, xx, **mk)
+        sq = generalized_rspmm(args[0], args[1], args[2], r**2, xx**2, **mk)
+        return jnp.sum(s * jnp.sin(s)) + jnp.sum(sq * jnp.cos(sq)), (s, sq)
+
+    (_, (s_f, q_f)), g_f = jax.value_and_grad(
+        loss_fused, argnums=(0, 1), has_aux=True)(args[3], args[4])
+    (_, (s_s, q_s)), g_s = jax.value_and_grad(
+        loss_sep, argnums=(0, 1), has_aux=True)(args[3], args[4])
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_s),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(q_f), np.asarray(q_s),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(g_f, g_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=2e-4)

@@ -187,41 +187,52 @@ class _TaskBase:
         cfg = self.model_cfg
         ent, rel = cfg.entity, cfg.relation
 
+        def full_save_fits(tower, num_nodes):
+            L = len(tower.hidden_dims)
+            unit = num_nodes * batch * tower.input_dim * 4
+            return (self._FULL_SAVE_PEAK_FACTOR * L * unit
+                    <= 0.7 * _hbm_bytes())
+
         def resolve(tower, num_nodes):
             L = len(tower.hidden_dims)
-            D = tower.input_dim
-            unit = num_nodes * batch * D * 4
-            budget = 0.7 * _hbm_bytes()
-            if self._FULL_SAVE_PEAK_FACTOR * L * unit <= budget:
+            unit = num_nodes * batch * tower.input_dim * 4
+            if full_save_fits(tower, num_nodes):
                 return False
-            if self._SAVE_RSPMM_PEAK_UNITS(L) * unit <= budget:
+            if self._SAVE_RSPMM_PEAK_UNITS(L) * unit <= 0.7 * _hbm_bytes():
                 return "save_rspmm"
             return True
 
+        # the relation tower propagates over the RELATION graph (2R nodes —
+        # full-save always fits there)
         if ent.remat == "auto":
             ent = dataclasses.replace(
                 ent, remat=resolve(ent, fact_graph.num_nodes))
         if rel.remat == "auto":
-            # the relation tower propagates over the RELATION graph
-            # (2R nodes — full-save always fits there)
             rel = dataclasses.replace(
                 rel, remat=resolve(rel, ent.num_relations))
         if ent.stack == "auto" or rel.stack == "auto":
             on_tpu = jax.default_backend() == "tpu"
 
-            def pick(tower):
-                # unroll ONLY under full-save: any remat policy's unrolled
-                # recompute/save zones schedule loosely enough for XLA to
-                # hold many [V, B*D] buffers live (WN-scale OOMs measured
-                # for both full remat and save_rspmm under unroll; scan
-                # bounds the live set)
-                return "unroll" if on_tpu and tower.remat in (False, "none") \
+            def pick(tower, num_nodes):
+                # unroll ONLY when saving everything fits at this scale:
+                # the unrolled graph's loose scheduling lets XLA hold many
+                # [V, B*D] buffers live — measured OOMs: WN-scale training
+                # under full remat AND save_rspmm (16.9 GB), ATOMIC-scale
+                # forward-only eval with pinned remat=False (17.5 GB,
+                # 3.4 GB of it fragmentation). scan bounds the live set.
+                return (
+                    "unroll"
+                    if on_tpu and tower.remat in (False, "none")
+                    and full_save_fits(tower, num_nodes)
                     else "scan"
+                )
 
             if ent.stack == "auto":
-                ent = dataclasses.replace(ent, stack=pick(ent))
+                ent = dataclasses.replace(
+                    ent, stack=pick(ent, fact_graph.num_nodes))
             if rel.stack == "auto":
-                rel = dataclasses.replace(rel, stack=pick(rel))
+                rel = dataclasses.replace(
+                    rel, stack=pick(rel, ent.num_relations))
         if ent is cfg.entity and rel is cfg.relation:
             return cfg
         return dataclasses.replace(cfg, entity=ent, relation=rel)
