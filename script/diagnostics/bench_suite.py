@@ -101,6 +101,43 @@ def main():
     # (fp32 stays the default — reference parity; see CLAUDE.md invariants)
     kernel_leg("rspmm_add_fwd_bwd_bf16", "add", compute_dtype="bfloat16")
 
+    # fused pna pairs: both extrema (or both moments) from ONE kernel pass
+    from ultra_torchdrug_tpu.ops.rspmm import (
+        generalized_rspmm_addsq, generalized_rspmm_maxmin,
+    )
+
+    def pair_leg(name, fn):
+        def loss(xx, rr):
+            a, b = fn(
+                g.edge_index, g.edge_type, g.edge_weight, rr, xx,
+                num_nodes=V, impl=impl, layouts=g.layouts,
+            )
+            return jnp.sum(a * a) + jnp.sum(b * b)
+
+        grad_fn = jax.value_and_grad(loss, argnums=(0, 1))
+
+        @jax.jit
+        def chain(xx, rr):
+            for _ in range(2):
+                _, (gx, gr) = grad_fn(xx, rr)
+                xx = xx + 1e-12 * gx
+                rr = rr + 1e-12 * gr
+            return xx, rr
+
+        t = timeit(chain, jnp.asarray(x), jnp.asarray(rel), n=1) / 2
+        results[name] = {
+            "ms": round(t * 1e3, 2),
+            "eff_edges_per_s": round(2 * E / t, 1),
+            "impl": impl, "F": 4096,
+        }
+        print(f"{name}: {t*1e3:.2f} ms  {2*E/t/1e6:.2f}M eff edges/s",
+              flush=True)
+
+    if impl == "pallas":
+        pair_leg("rspmm_maxmin_pair_fwd_bwd",
+                 lambda *a, **k: generalized_rspmm_maxmin(*a, msg="mul", **k))
+        pair_leg("rspmm_addsq_pair_fwd_bwd", generalized_rspmm_addsq)
+
     # ---- dense-MXU relation tower + full train step + eval batch ----------
     from ultra_torchdrug_tpu.data.datasets import synthetic_transductive
     from ultra_torchdrug_tpu.models.ultra import UltraConfig, _rel_queries

@@ -22,6 +22,7 @@ the O(E) materialized path, mirroring the reference's fallback (layer.py:112).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import jax
@@ -36,7 +37,11 @@ from ..nn.core import (
     mlp_apply,
     mlp_init,
 )
-from ..ops.rspmm import generalized_rspmm, generalized_rspmm_maxmin
+from ..ops.rspmm import (
+    generalized_rspmm,
+    generalized_rspmm_addsq,
+    generalized_rspmm_maxmin,
+)
 
 EPS = 1e-6
 
@@ -232,6 +237,7 @@ def conv_apply(
             and impl == "pallas" and not edge_grad and not cfg.edge_axis
             and graph.layouts is not None
             and getattr(graph.layouts, "fwd_blk", None) is not None
+            and os.environ.get("RSPMM_FUSED_PNA") != "0"  # A/B escape
         )
         if not fused:
             return spmm(relation, xx, "max"), spmm(relation, xx, "min")
@@ -244,6 +250,41 @@ def conv_apply(
         )
         return (checkpoint_name(mx, "rspmm_out"),
                 checkpoint_name(mn, "rspmm_out"))
+
+    def spmm_addsq(relation, xx):
+        """pna's first/second moments: one fused kernel for (sum, sq_sum)
+        when the single-chip blocked Pallas path applies AND the message is
+        distmult (sum(w*(rel*x)^2) == sum(w*rel^2*x^2) there; transe's
+        reference convention sums rel^2+x^2, which does not factor through
+        the message — ref layer.py:163-167). Rotate keeps its planar
+        sq_add path; every other route keeps the two-call semantics."""
+        impl = cfg.rspmm_impl
+        if impl == "ring":
+            impl = "pallas" if graph.layouts is not None else "xla"
+        fused = (
+            cfg.message_func == "distmult"
+            and impl == "pallas" and not edge_grad and not cfg.edge_axis
+            and cfg.compute_dtype == "float32"
+            and graph.layouts is not None
+            and getattr(graph.layouts, "fwd_blk", None) is not None
+            and getattr(graph.layouts, "rev_blk", None) is not None
+            and os.environ.get("RSPMM_FUSED_PNA") != "0"  # A/B escape
+        )
+        if not fused:
+            s = spmm(relation, xx, "add")
+            if cfg.message_func == "rotate":
+                sq = spmm(relation, xx, "sq_add")
+            else:
+                sq = spmm(relation**2, xx**2, "add")
+            return s, sq
+        s, sq = generalized_rspmm_addsq(
+            graph.edge_index, graph.edge_type, graph.edge_weight,
+            _broadcast_rel_flat(relation, B), xx,
+            num_nodes=graph.num_nodes, impl="pallas",
+            layouts=graph.layouts,
+        )
+        return (checkpoint_name(s, "rspmm_out"),
+                checkpoint_name(sq, "rspmm_out"))
 
     def _spmm_raw(relation, xx, agg):
         """xx: flat [Vrows, B*D]; returns flat [Vrows, B*D]."""
@@ -385,11 +426,7 @@ def conv_apply(
         if bounded:
             update = jnp.maximum(update, boundary)
     elif base == "pna":
-        s = spmm(rel, x, "add")
-        if cfg.message_func == "rotate":
-            sq = spmm(rel, x, "sq_add")
-        else:
-            sq = spmm(rel**2, x**2, "add")
+        s, sq = spmm_addsq(rel, x)
         mx, mn = spmm_maxmin(rel, x)
         if bounded:
             mean = (s + boundary) / degree

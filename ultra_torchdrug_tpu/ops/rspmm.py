@@ -298,6 +298,75 @@ def generalized_rspmm_maxmin(
     )
 
 
+@lru_cache(maxsize=None)
+def _make_rspmm_addsq_pair(num_nodes: int):
+    """custom-VJP fused (sum, sum-of-squares) rspmm for the distmult pna
+    moments: s = sum(w*rel*x), sq = sum(w*(rel*x)^2) from ONE blocked pass;
+    the backward streams (g_s, g_sq) pairs and factors both gradients
+    through the shared inner term w*g_s + 2*msg*w*g_sq."""
+
+    def fwd_impl(edge_weight, relation, x, layouts):
+        from .rspmm_pallas import rspmm_fwd_pallas_addsq
+
+        return rspmm_fwd_pallas_addsq(
+            layouts, edge_weight, relation, x, num_nodes=num_nodes
+        )
+
+    @jax.custom_vjp
+    def rspmm(edge_weight, relation, x, layouts):
+        return fwd_impl(edge_weight, relation, x, layouts)
+
+    def rspmm_fwd(edge_weight, relation, x, layouts):
+        out = fwd_impl(edge_weight, relation, x, layouts)
+        return out, (edge_weight, relation, x, layouts)
+
+    def rspmm_bwd(res, g):
+        edge_weight, relation, x, layouts = res
+        g_s, g_sq = g
+        from .rspmm_pallas import rspmm_bwd_pallas_addsq
+
+        dr, dx = rspmm_bwd_pallas_addsq(
+            layouts, edge_weight, relation, x, g_s, g_sq
+        )
+        dlay = None if layouts is None else _zeros_cotangent(layouts)
+        return jnp.zeros_like(edge_weight), dr, dx, dlay
+
+    rspmm.defvjp(rspmm_fwd, rspmm_bwd)
+    return rspmm
+
+
+def generalized_rspmm_addsq(
+    edge_index,
+    edge_type,
+    edge_weight,
+    relation,
+    x,
+    *,
+    num_nodes: int,
+    impl: str = "xla",
+    layouts=None,
+    edge_grad: bool = False,
+):
+    """pna's first and second moments of the same distmult messages:
+    (sum(w*rel*x), sum(w*(rel*x)^2)) in one fused pass when the blocked
+    Pallas layouts are available, otherwise the two-call formulation
+    spmm(rel, x, add) + spmm(rel^2, x^2, add). Returns (s, sq)."""
+    fused = (impl == "pallas" and not edge_grad and layouts is not None
+             and getattr(layouts, "fwd_blk", None) is not None
+             and getattr(layouts, "rev_blk", None) is not None)
+    if fused:
+        fn = _make_rspmm_addsq_pair(int(num_nodes))
+        return fn(edge_weight, relation, x, layouts)
+    mk = dict(msg="mul", agg="add", num_nodes=num_nodes, impl=impl,
+              layouts=layouts, edge_grad=edge_grad)
+    return (
+        generalized_rspmm(edge_index, edge_type, edge_weight, relation, x,
+                          **mk),
+        generalized_rspmm(edge_index, edge_type, edge_weight,
+                          relation**2, x**2, **mk),
+    )
+
+
 def generalized_rspmm(
     edge_index,
     edge_type,

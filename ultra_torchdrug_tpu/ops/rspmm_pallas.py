@@ -442,9 +442,15 @@ def _kernel_bwd_fused_vmem(
     cr_ref, meta_hbm, w_hbm, g_ref, rel_ref, x_ref, dx_ref, dr_ref,
     mbuf, wbuf, msems, wsems, mark_ref, xrow_ref, *rest, mode: str,
     num_chunks: int, packed: bool = False, manual_stream: bool = False,
-    argext: bool = False, argext_pair: bool = False,
+    argext: bool = False, argext_pair: bool = False, moments: bool = False,
 ):
-    if argext or argext_pair:
+    if moments:
+        # fused sum+sum-of-squares backward (distmult): the streamed dst
+        # blocks carry (g_s, g_sq) pairs; both gradients factor through one
+        # shared inner term — dx = rel*(w*g_s + 2*msg*w*g_sq), dr = x*(same)
+        # with msg = rel*x recomputed from the resident x row.
+        assert mode == "mul" and manual_stream
+    elif argext or argext_pair:
         # blocked argext backward for max/min: the streamed dst blocks carry
         # PACKED (g, saved-extremum) row pairs — read(gi) returns [2, ft,
         # lane] (or [4, ...] for the fused max+min pair: g_max, out_max,
@@ -524,7 +530,12 @@ def _kernel_bwd_fused_vmem(
                 mark_ref[...] = total
                 xrow_ref[...] = x_ref[d]
 
-            if argext or argext_pair:
+            if moments:
+                m = (rel_ref[r] * xrow_ref[...]).astype(jnp.float32)
+                inner = grow[0] * w + (2.0 * m) * (grow[1] * w)
+                dx_msg = rel_ref[r].astype(jnp.float32) * inner
+                dr_msg = xrow_ref[...].astype(jnp.float32) * inner
+            elif argext or argext_pair:
                 # recompute the forward message EXACTLY (bitwise) and gate
                 # the gradient on equality with the saved extremum
                 if mode == "mul":
@@ -670,6 +681,100 @@ def _kernel_gather_maxmin_vmem(
         tmn = jnp.minimum(tmn, jnp.where(sel, amn[k], _BIG))
     omx_ref[pl.ds(d_last, 1)] = jnp.maximum(omx_ref[pl.ds(d_last, 1)], tmx[None])
     omn_ref[pl.ds(d_last, 1)] = jnp.minimum(omn_ref[pl.ds(d_last, 1)], tmn[None])
+
+
+def _kernel_gather_addsq_vmem(
+    cr_ref, meta_hbm, w_hbm, data_ref, rel_ref, os_ref, oq_ref,
+    mbuf, wbuf, msems, wsems, mark_s, mark_q, xblk, xsems,
+    *, mode: str, num_chunks: int, packed: bool = False,
+):
+    """Fused sum + sum-of-squares forward over the blocked-source layout
+    (distmult only): s = sum(msg*w), sq = sum(msg^2*w) with msg = rel*x —
+    pna's first and second moments from ONE x stream and one message
+    compute, where the two-call formulation streams x twice and computes
+    rel^2/x^2 elementwise copies besides (models/layers.py pna branch).
+    Telescoping multi-accumulator bodies with separate marks per output."""
+    assert mode == "mul_rel", mode
+    c = pl.program_id(0)
+    slot = jax.lax.rem(c, 2)
+    nxt = jax.lax.rem(c + 1, 2)
+
+    @pl.when(cr_ref[0, c] != cr_ref[1, c])
+    def _():
+        os_ref[...] = jnp.zeros_like(os_ref)
+        oq_ref[...] = jnp.zeros_like(oq_ref)
+
+    @pl.when(c == 0)
+    def _():
+        md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, 0, 0)
+        md.start()
+        wd.start()
+
+    md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c, slot)
+    md.wait()
+    wd.wait()
+
+    @pl.when(c + 1 < num_chunks)
+    def _():
+        md2, wd2 = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c + 1, nxt)
+        md2.start()
+        wd2.start()
+
+    bslot = _stream_preamble(cr_ref, data_ref, xblk, xsems, c)
+    te = mbuf.shape[-1]
+
+    def body(q, carry):
+        d_prev, *state = carry
+        acs = list(state[:NACC])
+        acq = list(state[NACC:])
+        for j in range(NACC):
+            i = q * NACC + j
+            gi, ai, d = _decode_meta(mbuf, slot, i, packed)
+            xrow = xblk[bslot, gi]
+            w = wbuf[slot, 0, i]
+            msg = (rel_ref[ai] * xrow).astype(jnp.float32)
+            mw = msg * w
+            flush = d != d_prev
+
+            @pl.when(flush)
+            def _(d_prev=d_prev, acs=tuple(acs), acq=tuple(acq)):
+                ts = acs[0]
+                tq = acq[0]
+                for k in range(1, NACC):
+                    ts = ts + acs[k]
+                    tq = tq + acq[k]
+                os_ref[pl.ds(d_prev, 1)] = (
+                    os_ref[pl.ds(d_prev, 1)] + (ts - mark_s[...])[None]
+                )
+                oq_ref[pl.ds(d_prev, 1)] = (
+                    oq_ref[pl.ds(d_prev, 1)] + (tq - mark_q[...])[None]
+                )
+                mark_s[...] = ts
+                mark_q[...] = tq
+
+            acs[j] = acs[j] + mw
+            acq[j] = acq[j] + msg * mw
+            d_prev = d
+        return (d_prev, *acs, *acq)
+
+    zrow = jnp.zeros(os_ref.shape[1:], jnp.float32)
+    mark_s[...] = jnp.zeros_like(mark_s)
+    mark_q[...] = jnp.zeros_like(mark_q)
+    d_last, *state = jax.lax.fori_loop(
+        0, te // NACC, body, (0,) + (zrow,) * (2 * NACC)
+    )
+    acs, acq = state[:NACC], state[NACC:]
+    ts = acs[0]
+    tq = acq[0]
+    for k in range(1, NACC):
+        ts = ts + acs[k]
+        tq = tq + acq[k]
+    os_ref[pl.ds(d_last, 1)] = (
+        os_ref[pl.ds(d_last, 1)] + (ts - mark_s[...])[None]
+    )
+    oq_ref[pl.ds(d_last, 1)] = (
+        oq_ref[pl.ds(d_last, 1)] + (tq - mark_q[...])[None]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1418,6 +1523,112 @@ def rspmm_gather_maxmin(
     return mx[:, :F], mn[:, :F]
 
 
+def rspmm_gather_addsq(
+    data: jnp.ndarray,
+    relation: jnp.ndarray,
+    w_chunks: jnp.ndarray,
+    layout: CsrLayout,
+    index_chunks,
+    interpret: Optional[bool] = None,
+):
+    """Fused sum + sum-of-squares forward over the BLOCKED (fwd_blk) layout
+    (distmult message): returns (s, sq) = (sum(msg*w), sum(msg^2*w)), each
+    [padded_rows, F] float32."""
+    interpret = _interpret_default() if interpret is None else interpret
+    assert layout.block_rows > 0, "fused addsq needs a blocked layout"
+    data = data.astype(jnp.float32)
+    relation = relation.astype(jnp.float32)
+    V, F = data.shape
+    F_pad = _pad_lane(F)
+    te = layout.tile_edges
+    tv = layout.tile_rows
+    if F_pad != F:
+        data = jnp.pad(data, ((0, 0), (0, F_pad - F)))
+        relation = jnp.pad(relation, ((0, 0), (0, F_pad - F)))
+    r_pad = -(-relation.shape[0] // 8) * 8
+    if r_pad != relation.shape[0]:
+        relation = jnp.pad(relation, ((0, r_pad - relation.shape[0]), (0, 0)))
+    rel_rows = relation.shape[0]
+
+    packed = _packed_ok(layout, rel_rows)
+    if packed:
+        meta = _pack_meta_packed(layout, index_chunks, layout.aux)
+    else:
+        meta = _pack_meta(layout, index_chunks, layout.aux)
+    w3 = w_chunks[:, None, :]
+    vg = layout.padded_gather_rows
+    if data.shape[0] < vg:
+        data = jnp.pad(data, ((0, vg - data.shape[0]), (0, 0)))
+    per_f = rel_rows + 4 * tv + 2 * layout.block_rows + 16
+    tf = max(_LANE, ((80 * 1024 * 1024 // 4) // per_f) // _LANE * _LANE)
+    tf = min(F_pad, tf)
+
+    kernel = functools.partial(
+        _kernel_gather_addsq_vmem, mode="mul_rel",
+        num_chunks=layout.num_chunks, packed=packed,
+    )
+    s_pieces, q_pieces = [], []
+    for f0 in range(0, F_pad, tf):
+        fw = min(tf, F_pad - f0)
+        ft = fw // _LANE
+        data_f = data[:, f0 : f0 + fw].reshape(
+            -1, layout.block_rows, ft, _LANE
+        )
+        scratch = [
+            pltpu.SMEM((2, 4, te), jnp.int32),
+            pltpu.SMEM((2, 1, te), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((ft, _LANE), jnp.float32),  # mark_s
+            pltpu.VMEM((ft, _LANE), jnp.float32),  # mark_q
+            pltpu.VMEM((2, layout.block_rows, ft, _LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(layout.num_chunks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # meta
+                pl.BlockSpec(memory_space=pl.ANY),  # weights
+                pl.BlockSpec(memory_space=pl.ANY),  # blocked x stream
+                pl.BlockSpec((rel_rows, ft, _LANE), lambda c, cr: (0, 0, 0),
+                             memory_space=pltpu.VMEM),  # relation
+            ],
+            out_specs=(
+                pl.BlockSpec((tv, ft, _LANE), lambda c, cr: (cr[0, c], 0, 0),
+                             memory_space=pltpu.VMEM),  # s
+                pl.BlockSpec((tv, ft, _LANE), lambda c, cr: (cr[0, c], 0, 0),
+                             memory_space=pltpu.VMEM),  # sq
+            ),
+            scratch_shapes=scratch,
+        )
+        s_p, q_p = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct(
+                    (layout.padded_rows, ft, _LANE), jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (layout.padded_rows, ft, _LANE), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            layout.cr_pairs,
+            meta,
+            w3,
+            data_f,
+            relation[:, f0 : f0 + fw].reshape(rel_rows, ft, _LANE),
+        )
+        s_pieces.append(s_p.reshape(layout.padded_rows, fw))
+        q_pieces.append(q_p.reshape(layout.padded_rows, fw))
+    s = s_pieces[0] if len(s_pieces) == 1 else jnp.concatenate(s_pieces, 1)
+    q = q_pieces[0] if len(q_pieces) == 1 else jnp.concatenate(q_pieces, 1)
+    return s[:, :F], q[:, :F]
+
+
 def rspmm_bwd_fused(
     x_flat: jnp.ndarray,
     g_flat: jnp.ndarray,
@@ -1747,6 +1958,7 @@ def rspmm_bwd_minmax_blk(
     interpret: Optional[bool] = None,
     g2_flat: Optional[jnp.ndarray] = None,
     out2_flat: Optional[jnp.ndarray] = None,
+    kind: str = "argext",
 ):
     """Blocked-destination argext backward for max/min over the src-sorted
     BLOCKED layout (rev_blk): g and the saved forward extremum stream as
@@ -1804,7 +2016,9 @@ def rspmm_bwd_minmax_blk(
     kernel = functools.partial(
         _kernel_bwd_fused_vmem, mode=mode, num_chunks=layout.num_chunks,
         packed=packed, manual_stream=True,
-        argext=not pair, argext_pair=pair,
+        argext=kind == "argext" and not pair,
+        argext_pair=kind == "argext" and pair,
+        moments=kind == "moments",
     )
     dx_pieces, dr_pieces = [], []
     for f0 in range(0, F_pad, tf):
@@ -2217,6 +2431,52 @@ def rspmm_bwd_pallas_maxmin(layouts, edge_weight, relation, x, out_mx,
         _flat(x), _flat(g_mx), _flat(out_mx), rel_flat,
         _weight_chunks(edge_weight, rev), rev, mode=mode,
         g2_flat=_flat(g_mn), out2_flat=_flat(out_mn),
+    )
+    dx = dx_flat[: x.shape[0]].reshape(x.shape)
+    R = relation.shape[0]
+    if flat_in:
+        return dr_flat[:R], dx
+    dr = dr_flat[:R].reshape(R, *x.shape[1:])
+    if relation.ndim == 2:  # shared relation: sum over batch
+        dr = dr.sum(axis=1)
+    return dr, dx
+
+
+def rspmm_fwd_pallas_addsq(layouts, edge_weight, relation, x, *, num_nodes):
+    """Fused (sum, sum-of-squares) forward for the distmult pna moments —
+    one blocked pass replaces spmm(rel, x, add) + spmm(rel^2, x^2, add)
+    (models/layers.py pna branch). Returns (s, sq) shaped like x rows."""
+    lay = getattr(layouts, "fwd_blk", None)
+    assert lay is not None, "fused addsq needs blocked layouts (fwd_blk)"
+    flat_in = x.ndim == 2
+    if flat_in:
+        x_flat, rel_flat = x, relation
+    else:
+        B = x.shape[1]
+        x_flat = _flat(x)
+        rel_flat = _rel_flat(relation, B)
+    s, q = rspmm_gather_addsq(
+        x_flat, rel_flat, _weight_chunks(edge_weight, lay), lay, lay.gather1,
+    )
+    s, q = s[:num_nodes], q[:num_nodes]
+    if flat_in:
+        return s, q
+    shp = (num_nodes,) + x.shape[1:]
+    return s.reshape(shp), q.reshape(shp)
+
+
+def rspmm_bwd_pallas_addsq(layouts, edge_weight, relation, x, g_s, g_sq):
+    """Fused moments backward: one pass over the blocked src-sorted layout
+    streams (g_s, g_sq) dst-block pairs; both gradients factor through the
+    shared inner term w*g_s + 2*msg*w*g_sq (msg = rel*x recomputed from the
+    resident x row). Returns (d_relation, d_input)."""
+    rev = getattr(layouts, "rev_blk", None)
+    assert rev is not None, "fused addsq needs blocked layouts (rev_blk)"
+    flat_in = x.ndim == 2
+    rel_flat = relation if flat_in else _rel_flat(relation, x.shape[1])
+    dx_flat, dr_flat = rspmm_bwd_minmax_blk(
+        _flat(x), _flat(g_s), _flat(g_sq), rel_flat,
+        _weight_chunks(edge_weight, rev), rev, mode="mul", kind="moments",
     )
     dx = dx_flat[: x.shape[0]].reshape(x.shape)
     R = relation.shape[0]
