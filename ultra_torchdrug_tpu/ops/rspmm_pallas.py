@@ -1271,6 +1271,12 @@ def rspmm_gather1(
         relation = relation.astype(compute_dtype)
     V, F = data.shape
     F_pad = _pad_lane(F)
+    if jnp.dtype(compute_dtype) == jnp.bfloat16:
+        # bf16 HBM memrefs tile (16, 128): feature slices (DMA'd rows and
+        # per-pass columns) must cover multiples of 8 [*, 128] tiles or
+        # Mosaic rejects the descriptor ("slice must be aligned to tiling
+        # (8)") — pad F so every pass, including the last, is 8-tile wide
+        F_pad = -(-F_pad // (8 * _LANE)) * (8 * _LANE)
     te = layout.tile_edges
     tv = layout.tile_rows
     if F_pad != F:
@@ -1283,6 +1289,8 @@ def rspmm_gather1(
             relation = jnp.pad(relation, ((0, r_pad - relation.shape[0]), (0, 0)))
     rel_rows = 0 if relation is None else relation.shape[0]
     tf = _feature_tiles(F_pad, rel_rows, layout)
+    if jnp.dtype(compute_dtype) == jnp.bfloat16:
+        tf = max(8 * _LANE, (tf // (8 * _LANE)) * (8 * _LANE))
 
     # aux (edge type) is only read by the *_rel message modes; when relation
     # is None (e.g. transe backward d_input) pack zeros so the packed-word
@@ -1317,6 +1325,8 @@ def rspmm_gather1(
         per_f = rel_rows + 2 * tv + 2 * layout.block_rows + 16
         tf = max(_LANE, ((80 * 1024 * 1024 // 4) // per_f) // _LANE * _LANE)
         tf = min(F_pad, tf)
+        if jnp.dtype(compute_dtype) == jnp.bfloat16:
+            tf = max(8 * _LANE, (tf // (8 * _LANE)) * (8 * _LANE))
         if mode == "rot_rel" and tf < F_pad:
             raise ValueError(
                 f"rotate needs one feature pass to keep the planar re/im "
@@ -1648,6 +1658,10 @@ def rspmm_bwd_fused(
     relation_flat = relation_flat.astype(compute_dtype)
     V, F = x_flat.shape
     F_pad = _pad_lane(F)
+    if jnp.dtype(compute_dtype) == jnp.bfloat16:
+        # bf16 HBM memrefs tile (16, 128): see rspmm_gather1 — 8-tile-align
+        # every feature pass
+        F_pad = -(-F_pad // (8 * _LANE)) * (8 * _LANE)
     te, tv = layout.tile_edges, layout.tile_rows
     if F_pad != F:
         x_flat = jnp.pad(x_flat, ((0, 0), (0, F_pad - F)))
@@ -1667,6 +1681,8 @@ def rspmm_bwd_fused(
     per_f = 2 * r_pad + 4 * tv + NGRP * GROUP + 8
     tf = max(_LANE, (budget // per_f) // _LANE * _LANE)
     tf = min(F_pad, tf)
+    if jnp.dtype(compute_dtype) == jnp.bfloat16:
+        tf = max(8 * _LANE, (tf // (8 * _LANE)) * (8 * _LANE))
 
     meta = _pack_meta(layout, layout.gather1, layout.aux)
     w3 = w_chunks[:, None, :]
@@ -1695,6 +1711,8 @@ def rspmm_bwd_fused(
         per_f = 2 * r_pad + 4 * tv + 2 * layout.block_rows + 16
         tf = max(_LANE, ((96 * 1024 * 1024 // 4) // per_f) // _LANE * _LANE)
         tf = min(F_pad, tf)
+        if jnp.dtype(compute_dtype) == jnp.bfloat16:
+            tf = max(8 * _LANE, (tf // (8 * _LANE)) * (8 * _LANE))
         if mode == "rotate" and tf < F_pad:
             raise ValueError(
                 f"rotate backward needs one feature pass: F={F_pad} exceeds "
