@@ -23,18 +23,27 @@ REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 sys.path.insert(0, REPO)
 
 
-def timeit(fn, *args, n=4, repeats=3):
-    import jax
+def slope_time(make_chain, args, lo_n=2, hi_n=6, repeats=3):
+    """Per-step time as the SLOPE between two chain depths inside one jit.
 
-    jax.block_until_ready(fn(*args))
-    best = float("inf")
+    Same methodology as bench.py: the difference cancels the per-dispatch
+    constant (15-40 ms of tunnel RTT + sync over the remote-TPU link), which
+    would otherwise inflate a ~50 ms leg by ~20%. Slope is computed from the
+    per-depth minima across repeats (one noisy-slow lo sample must not
+    understate the difference). make_chain(n) must return a jitted callable
+    whose scalar float() result forces completion of all n chained steps."""
+    lo, hi = make_chain(lo_n), make_chain(hi_n)
+    float(lo(*args))  # compile + warm
+    float(hi(*args))
+    t_lo = t_hi = float("inf")
     for _ in range(repeats):
         t0 = time.time()
-        for _ in range(n):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.time() - t0) / n)
-    return best
+        float(lo(*args))
+        t_lo = min(t_lo, time.time() - t0)
+        t0 = time.time()
+        float(hi(*args))
+        t_hi = min(t_hi, time.time() - t0)
+    return (t_hi - t_lo) / (hi_n - lo_n)
 
 
 def main():
@@ -50,7 +59,14 @@ def main():
         "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
     )
     backend = jax.default_backend()
-    results = {"backend": backend, "measured_at": time.strftime("%Y-%m-%d")}
+    results = {
+        "backend": backend,
+        "measured_at": time.strftime("%Y-%m-%d"),
+        # every leg is slope-timed (chain-depth difference inside one jit,
+        # per-depth minima) — same methodology as bench.py, so these numbers
+        # are per-step device time with the tunnel dispatch constant removed
+        "method": "slope(chained jit depths, per-depth minima)",
+    }
 
     # ---- kernel: max/min aggregation fwd+bwd (bench.py workload) ----------
     sys.path.insert(0, REPO)
