@@ -3,9 +3,20 @@ STATUS.md gets a machine-written JSON record in BENCH_SUITE.json at the repo
 root, refreshed by running this on the real TPU:
 
   * rspmm max/min-aggregation kernel fwd+bwd (argext VJP) edges/s
+  * fused pna pair kernels (maxmin, addsq) fwd+bwd
+  * bf16-streamed add kernel fwd+bwd (opt-in production mode)
   * dense-MXU relation tower forward (FB-scale 474-node relation graph)
-  * full train step (single FB-scale graph, remat auto, batch 64)
+  * full train step (single FB-scale graph; full remat / save_rspmm / the
+    shipped remat='auto' default), batch 64
   * eval batch (2x all-entity scoring + filtered ranks)
+
+Every leg is slope-timed: per-step time is the SLOPE between two chain
+depths run inside one jit (lax.fori_loop whose carry feeds each step's
+output into the next step's input, so no step can be elided or overlapped),
+with the slope computed from per-depth minima across repeats. This is the
+same methodology as bench.py — it cancels the per-dispatch constant, which
+over the remote-TPU tunnel is 15-40 ms of RTT + sync and would otherwise
+inflate a ~50 ms leg by ~20%.
 
 bench.py stays the driver-facing headline (one JSON line, distmult/add).
 
@@ -26,12 +37,12 @@ sys.path.insert(0, REPO)
 def slope_time(make_chain, args, lo_n=2, hi_n=6, repeats=3):
     """Per-step time as the SLOPE between two chain depths inside one jit.
 
-    Same methodology as bench.py: the difference cancels the per-dispatch
-    constant (15-40 ms of tunnel RTT + sync over the remote-TPU link), which
-    would otherwise inflate a ~50 ms leg by ~20%. Slope is computed from the
-    per-depth minima across repeats (one noisy-slow lo sample must not
-    understate the difference). make_chain(n) must return a jitted callable
-    whose scalar float() result forces completion of all n chained steps."""
+    make_chain(n) must return a jitted callable over *args whose scalar
+    float() result forces completion of all n chained steps (float() is the
+    reliable completion barrier over the tunnel; block_until_ready is not
+    for small outputs). Slope is computed from the per-depth minima across
+    repeats — pairing independent single timings would let one noisy-slow
+    lo sample understate (or negate) the difference."""
     lo, hi = make_chain(lo_n), make_chain(hi_n)
     float(lo(*args))  # compile + warm
     float(hi(*args))
@@ -62,14 +73,21 @@ def main():
     results = {
         "backend": backend,
         "measured_at": time.strftime("%Y-%m-%d"),
-        # every leg is slope-timed (chain-depth difference inside one jit,
-        # per-depth minima) — same methodology as bench.py, so these numbers
-        # are per-step device time with the tunnel dispatch constant removed
+        # see module docstring: every leg chains steps with a data-dependent
+        # carry inside one jit and reports the per-depth-minima slope
         "method": "slope(chained jit depths, per-depth minima)",
     }
 
+    def tree_bump(p, s):
+        # fold a scalar into every leaf: forces each chained step to depend
+        # on the previous step's full output (1e-30 leaves values unchanged
+        # at f32 precision but is not statically zero, so XLA cannot elide)
+        return jax.tree_util.tree_map(lambda a: a + (s * 1e-30).astype(a.dtype), p)
+
+    def first_scalar(p):
+        return jax.tree_util.tree_leaves(p)[0].ravel()[0].astype(jnp.float32)
+
     # ---- kernel: max/min aggregation fwd+bwd (bench.py workload) ----------
-    sys.path.insert(0, REPO)
     from bench import build_workload
 
     from ultra_torchdrug_tpu.data.graph import Graph
@@ -82,6 +100,21 @@ def main():
     g = Graph.from_triplets(triplets, V, R)
     if impl == "pallas":
         g = g.prepare_pallas()
+    x0, rel0 = jnp.asarray(x), jnp.asarray(rel)
+
+    def grad_chain(grad_fn):
+        """make_chain for a (xx, rr) -> (loss, (gx, gr)) grad function."""
+        def make_chain(n):
+            @jax.jit
+            def chain(xx, rr):
+                def body(i, carry):
+                    xx, rr = carry
+                    _, (gx, gr) = grad_fn(xx, rr)
+                    return (xx + 1e-12 * gx, rr + 1e-12 * gr)
+                xx, rr = jax.lax.fori_loop(0, n, body, (xx, rr))
+                return xx[0, 0, 0] + rr.ravel()[0]
+            return chain
+        return make_chain
 
     def kernel_leg(name, agg, compute_dtype="float32"):
         def loss(xx, rr):
@@ -93,16 +126,7 @@ def main():
             return jnp.sum(out * out)
 
         grad_fn = jax.value_and_grad(loss, argnums=(0, 1))
-
-        @jax.jit
-        def chain(xx, rr):
-            for _ in range(2):
-                _, (gx, gr) = grad_fn(xx, rr)
-                xx = xx + 1e-12 * gx
-                rr = rr + 1e-12 * gr
-            return xx, rr
-
-        t = timeit(chain, jnp.asarray(x), jnp.asarray(rel), n=1) / 2
+        t = slope_time(grad_chain(grad_fn), (x0, rel0))
         results[name] = {
             "ms": round(t * 1e3, 2), "edges_per_s": round(E / t, 1),
             "impl": impl, "F": 4096,
@@ -131,16 +155,7 @@ def main():
             return jnp.sum(a * a) + jnp.sum(b * b)
 
         grad_fn = jax.value_and_grad(loss, argnums=(0, 1))
-
-        @jax.jit
-        def chain(xx, rr):
-            for _ in range(2):
-                _, (gx, gr) = grad_fn(xx, rr)
-                xx = xx + 1e-12 * gx
-                rr = rr + 1e-12 * gr
-            return xx, rr
-
-        t = timeit(chain, jnp.asarray(x), jnp.asarray(rel), n=1) / 2
+        t = slope_time(grad_chain(grad_fn), (x0, rel0))
         results[name] = {
             "ms": round(t * 1e3, 2),
             "eff_edges_per_s": round(2 * E / t, 1),
@@ -173,22 +188,51 @@ def main():
     key = jax.random.PRNGKey(1)
 
     _, relg_p = task._prepare_graphs(task.fact_graph, task.rel_graph)
-    rel_fwd = jax.jit(lambda p: _rel_queries(p, cfg, relg_p, batch[:, 2]))
-    t = timeit(rel_fwd, params)
+
+    def make_rel_chain(n):
+        @jax.jit
+        def chain(p):
+            def body(i, p):
+                q = _rel_queries(p, cfg, relg_p, batch[:, 2])
+                return tree_bump(p, jnp.sum(q))
+            return first_scalar(jax.lax.fori_loop(0, n, body, p))
+        return chain
+
+    t = slope_time(make_rel_chain, (params,), lo_n=2, hi_n=10)
     results["rel_tower_fwd_dense_mxu"] = {
         "ms": round(t * 1e3, 2), "rel_nodes": int(relg_p.num_nodes),
         "layers": 6,
     }
     print(f"rel tower fwd: {t*1e3:.2f} ms", flush=True)
 
-    step = jax.jit(jax.value_and_grad(
-        lambda p: task._loss_fn(p, key, batch, None)[0]))
-    t = timeit(step, params, n=2)
-    results["train_step_fwd_bwd_fb"] = {
-        "ms": round(t * 1e3, 1), "B": B, "V": int(ds.num_entities),
-        "E_und": int(2 * task.fact_graph.num_edges), "remat": "full",
-    }
-    print(f"train fwd+bwd: {t*1e3:.1f} ms", flush=True)
+    def step_chain(task_obj):
+        vg = jax.value_and_grad(
+            lambda p: task_obj._loss_fn(p, key, batch, None)[0])
+
+        def make_chain(n):
+            @jax.jit
+            def chain(p):
+                def body(i, carry):
+                    p, acc = carry
+                    loss, grads = vg(p)
+                    p = jax.tree_util.tree_map(
+                        lambda a, ga: a + 1e-12 * ga, p, grads)
+                    return (p, acc + loss)
+                p, acc = jax.lax.fori_loop(
+                    0, n, body, (p, jnp.float32(0.0)))
+                return acc + first_scalar(p)
+            return chain
+        return make_chain
+
+    def train_leg(name, task_obj, remat_label):
+        t = slope_time(step_chain(task_obj), (params,), lo_n=1, hi_n=3)
+        results[name] = {
+            "ms": round(t * 1e3, 1), "B": B, "V": int(ds.num_entities),
+            "E_und": int(2 * task.fact_graph.num_edges), "remat": remat_label,
+        }
+        print(f"{name}: {t*1e3:.1f} ms", flush=True)
+
+    train_leg("train_step_fwd_bwd_fb", task, "full")
 
     cfg_s = dataclasses.replace(
         cfg,
@@ -196,14 +240,7 @@ def main():
         relation=dataclasses.replace(cfg.relation, remat="save_rspmm"),
     )
     task_s = TransductiveKGTask(ds, cfg_s, TaskConfig(num_negative=128))
-    step_s = jax.jit(jax.value_and_grad(
-        lambda p: task_s._loss_fn(p, key, batch, None)[0]))
-    t = timeit(step_s, params, n=2)
-    results["train_step_fwd_bwd_fb_save_rspmm"] = {
-        "ms": round(t * 1e3, 1), "B": B, "V": int(ds.num_entities),
-        "E_und": int(2 * task.fact_graph.num_edges), "remat": "save_rspmm",
-    }
-    print(f"train fwd+bwd (save_rspmm): {t*1e3:.1f} ms", flush=True)
+    train_leg("train_step_fwd_bwd_fb_save_rspmm", task_s, "save_rspmm")
 
     # the shipped default: remat='auto' resolves fastest-fits-first per
     # graph/batch (full-save + unrolled stack at FB scale on a 16 GB chip)
@@ -213,18 +250,21 @@ def main():
         relation=dataclasses.replace(cfg.relation, remat="auto"),
     )
     task_a = TransductiveKGTask(ds, cfg_a, TaskConfig(num_negative=128))
-    step_a = jax.jit(jax.value_and_grad(
-        lambda p: task_a._loss_fn(p, key, batch, None)[0]))
-    t = timeit(step_a, params, n=2)
-    results["train_step_fwd_bwd_fb_auto"] = {
-        "ms": round(t * 1e3, 1), "B": B, "V": int(ds.num_entities),
-        "E_und": int(2 * task.fact_graph.num_edges), "remat": "auto",
-    }
-    print(f"train fwd+bwd (auto, shipped default): {t*1e3:.1f} ms", flush=True)
+    train_leg("train_step_fwd_bwd_fb_auto", task_a, "auto")
 
-    ev = task._eval_fn
+    ev_fn = task._build_eval_fn(task.fact_graph, task.rel_graph, task.graph)
     ebatch = jnp.asarray(task.eval_triples("valid")[:16])
-    t = timeit(lambda p: ev(p, ebatch), params, n=2)
+
+    def make_eval_chain(n):
+        @jax.jit
+        def chain(p):
+            def body(i, p):
+                ranking, cand = ev_fn(p, ebatch)
+                return tree_bump(p, jnp.sum(ranking.astype(jnp.float32)))
+            return first_scalar(jax.lax.fori_loop(0, n, body, p))
+        return chain
+
+    t = slope_time(make_eval_chain, (params,), lo_n=1, hi_n=3)
     results["eval_batch16"] = {
         "ms": round(t * 1e3, 1),
         "triples_per_s": round(16 / t, 1),
