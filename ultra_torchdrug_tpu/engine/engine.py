@@ -23,6 +23,15 @@ from ..utils import checkpoint as ckpt_io
 from ..utils.logging import Meter, get_root_logger
 
 
+def _is_oom_error(e: Exception) -> bool:
+    """XLA surfaces device OOM as an XlaRuntimeError whose message carries
+    RESOURCE_EXHAUSTED / 'out of memory'; match on the message so the check
+    is backend-agnostic (tunnel backends wrap the exception type)."""
+    s = str(e)
+    return ("RESOURCE_EXHAUSTED" in s or "Out of memory" in s
+            or "out of memory" in s)
+
+
 def make_optimizer(
     name: str = "AdamW",
     lr: float = 5e-4,
@@ -89,6 +98,7 @@ class Engine:
         self.epoch = 0
         self._is_multigraph = isinstance(task, MultiGraphPretrainTask)
         self._step_fns = {}
+        self._warmed_steps = set()  # graph_ids whose step_fn has succeeded
         self.profile_dir: Optional[str] = None  # set to capture a JAX trace
 
     def _next_key(self):
@@ -235,6 +245,50 @@ class Engine:
                     sw = None if sws[0] is None else jnp.stack(sws)
                 yield 0, K, jnp.asarray(batch), sw
 
+    def _demote(self, reason: str) -> bool:
+        """Fail-soft on device OOM: walk the task's auto policies one tier
+        down the memory ladder and invalidate every compiled step (they close
+        over the task's jitted loss fns). Returns False when the task has no
+        tier left (pinned policies / ladder exhausted)."""
+        if not hasattr(self.task, "demote_policy"):
+            return False
+        if not self.task.demote_policy(reason):
+            return False
+        self.logger.warning(
+            f"device OOM -> demoted auto policies to tier "
+            f"{self.task._policy_demotion}; recompiling step"
+        )
+        self._step_fns.clear()
+        self._warmed_steps.clear()
+        return True
+
+    def _run_step(self, gid, batch, sw):
+        """Execute one (possibly K-chained) optimizer step with fail-soft OOM
+        handling. Static shapes make step memory deterministic, so an OOM can
+        only surface on a step_fn's FIRST execution — params/opt_state are
+        snapshotted there (they are donated and a failed execution may have
+        consumed them), restored, and the step retried one policy tier down."""
+        while True:
+            step_fn = self._get_step_fn(gid)
+            first_run = gid not in self._warmed_steps
+            if first_run:
+                snap = jax.tree_util.tree_map(
+                    jnp.copy, (self.params, self.opt_state))
+            try:
+                self.params, self.opt_state, metrics = step_fn(
+                    self.params, self.opt_state,
+                    np.uint32(self.meter.global_step), batch, sw,
+                )
+                if first_run:
+                    self._warmed_steps.add(gid)
+                return metrics
+            except Exception as e:
+                if not (first_run and _is_oom_error(e)):
+                    raise
+                self.params, self.opt_state = snap
+                if not self._demote(str(e).splitlines()[0][:200]):
+                    raise
+
     def train(self, num_epoch: int = 1, batch_per_epoch: Optional[int] = None):
         from concurrent.futures import ThreadPoolExecutor
 
@@ -257,11 +311,7 @@ class Engine:
                         break
                     pending = ex.submit(next, it, None)
                     gid, k, batch, sw = item
-                    step_fn = self._get_step_fn(gid)
-                    self.params, self.opt_state, metrics = step_fn(
-                        self.params, self.opt_state,
-                        np.uint32(self.meter.global_step), batch, sw,
-                    )
+                    metrics = self._run_step(gid, batch, sw)
                     self.meter.update_many(
                         metrics, k,
                         rates={"edges_per_s": k * self._edges_per_step(gid)},
@@ -275,9 +325,17 @@ class Engine:
 
     def evaluate(self, split: str, fast_test: Optional[int] = None):
         self.logger.info(f"Evaluate on {split}")
-        metrics = self.task.evaluate(
-            self.params, split, self.batch_size, fast_test=fast_test
-        )
+        while True:
+            try:
+                metrics = self.task.evaluate(
+                    self.params, split, self.batch_size, fast_test=fast_test
+                )
+                break
+            except Exception as e:
+                # eval jits don't donate, so a straight retry is safe
+                if not (_is_oom_error(e) and self._demote(
+                        str(e).splitlines()[0][:200])):
+                    raise
         printable = {k: v for k, v in metrics.items() if not isinstance(v, dict)}
         self.meter.log_dict(printable, category=f"{split}/epoch {self.epoch}")
         return metrics

@@ -111,20 +111,24 @@ def _hbm_bytes() -> int:
 _MB_BUDGET_FRACTION = 0.25
 
 
-def auto_micro_batch(model_cfg: UltraConfig, num_nodes: int, batch: int) -> UltraConfig:
+def auto_micro_batch(model_cfg: UltraConfig, num_nodes: int, batch: int,
+                     budget_bytes: Optional[int] = None) -> UltraConfig:
     """Pick entity-tower microbatching so the propagation carries fit HBM.
 
     Full remat still saves one flat [V, B*D] f32 carry per layer (the scan
     stack); when those alone exceed _MB_BUDGET_FRACTION of the device budget,
     halve the microbatch until they fit — the tower then runs as a sequential
     checkpointed lax.map over batch chunks (models/nbfnet.py micro_batch),
-    gradients unchanged. Explicit micro_batch config wins."""
+    gradients unchanged. Explicit micro_batch config wins.
+
+    budget_bytes: the HBM budget to size against (defaults to the queried
+    device HBM; tasks pass their fail-soft-derated budget)."""
     ent = model_cfg.entity
     if ent.micro_batch or batch <= 1:
         return model_cfg
     L = len(ent.hidden_dims)
     D = ent.input_dim
-    budget = _MB_BUDGET_FRACTION * _hbm_bytes()
+    budget = _MB_BUDGET_FRACTION * (budget_bytes or _hbm_bytes())
 
     def carry_bytes(b):
         return L * num_nodes * b * D * 4
@@ -146,6 +150,45 @@ class _TaskBase:
 
     model_cfg: UltraConfig
     cfg: TaskConfig
+
+    # -- fail-soft policy demotion (VERDICT r4 #5) ------------------------
+    # The auto remat/stack/micro-batch/eval-batch policies are calibrated
+    # HBM models; a misprediction used to be a hard OOM at step 0. Each
+    # demotion level HALVES the budget every auto policy sizes against,
+    # which walks the resolution one tier down the measured ladder
+    # (full-save+unroll -> save_rspmm+scan -> full remat+scan -> halved
+    # micro_batch -> ...) and shrinks the auto eval batch. The engine
+    # catches RESOURCE_EXHAUSTED on step/eval execution, calls
+    # demote_policy(), and retries — a 25-hour pretrain survives a chip
+    # whose HBM is smaller than the calibration chip's. Explicitly pinned
+    # policies are respected (only 'auto' resolution reads the budget).
+    _policy_demotion = 0
+    _MAX_POLICY_DEMOTION = 6
+
+    def _budget_bytes(self) -> int:
+        return int(_hbm_bytes()) >> self._policy_demotion
+
+    def demote_policy(self, reason: str = "") -> bool:
+        """Shrink the assumed HBM budget one tier and rebuild the jitted
+        step/eval closures so the next trace resolves the demoted policy.
+        Returns False when the ladder is exhausted."""
+        if self._policy_demotion >= self._MAX_POLICY_DEMOTION:
+            return False
+        self._policy_demotion += 1
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "policy demotion -> level %d (budget %.1f GB)%s",
+            self._policy_demotion, self._budget_bytes() / 2**30,
+            f": {reason}" if reason else "",
+        )
+        self._rebuild_jits()
+        return True
+
+    def _rebuild_jits(self):
+        """Recreate the jitted loss/eval closures after a demotion (they
+        resolve the auto policies at trace/build time). Overridden by each
+        task family; the base is a no-op for families with no cached jits."""
 
     def init_params(self, key):
         return ultra_init(key, self.model_cfg)
@@ -187,18 +230,19 @@ class _TaskBase:
         cfg = self.model_cfg
         ent, rel = cfg.entity, cfg.relation
 
+        budget = self._budget_bytes()  # fail-soft-derated HBM budget
+
         def full_save_fits(tower, num_nodes):
             L = len(tower.hidden_dims)
             unit = num_nodes * batch * tower.input_dim * 4
-            return (self._FULL_SAVE_PEAK_FACTOR * L * unit
-                    <= 0.7 * _hbm_bytes())
+            return self._FULL_SAVE_PEAK_FACTOR * L * unit <= 0.7 * budget
 
         def resolve(tower, num_nodes):
             L = len(tower.hidden_dims)
             unit = num_nodes * batch * tower.input_dim * 4
             if full_save_fits(tower, num_nodes):
                 return False
-            if self._SAVE_RSPMM_PEAK_UNITS(L) * unit <= 0.7 * _hbm_bytes():
+            if self._SAVE_RSPMM_PEAK_UNITS(L) * unit <= 0.7 * budget:
                 return "save_rspmm"
             return True
 
@@ -318,7 +362,8 @@ class _TaskBase:
             # microbatching to the device budget here
             mcfg = self._resolve_model_cfg(fact_graph, int(batch.shape[0]))
             mcfg = auto_micro_batch(mcfg, fact_graph.num_nodes,
-                                    int(batch.shape[0]))
+                                    int(batch.shape[0]),
+                                    budget_bytes=self._budget_bytes())
             h, t, r = batch[:, 0], batch[:, 1], batch[:, 2]
             if cfg.strict_negative:
                 neg = strict_negatives(
@@ -398,7 +443,7 @@ class _TaskBase:
             return int(self.cfg.eval_batch_size)
         D = self.model_cfg.entity.input_dim
         per_b = self._EVAL_STATE_COPIES * num_nodes * D * 4
-        fit = max(1, int(0.75 * _hbm_bytes() / per_b))
+        fit = max(1, int(0.75 * self._budget_bytes() / per_b))
         cap = min(fit, max(requested, self._EVAL_BATCH_RAISE_CAP))
         b = 1
         while b * 2 <= cap:
@@ -511,9 +556,12 @@ class TransductiveKGTask(_TaskBase):
             self.deg_hr, self.deg_tr = _degree_weights(
                 self.train_triples, dataset.num_entities, dataset.num_relations
             )
+        self._rebuild_jits()
+
+    def _rebuild_jits(self):
         self._loss_fn = jax.jit(
             self._build_loss_fn(
-                self.fact_graph, self.rel_graph, dataset.num_entities
+                self.fact_graph, self.rel_graph, self.dataset.num_entities
             )
         )
         self._eval_fn = jax.jit(
@@ -606,11 +654,14 @@ class InductiveKGTask(_TaskBase):
             self.deg_hr, self.deg_tr = _degree_weights(
                 dataset.train, dataset.train_graph.num_nodes, dataset.num_relations
             )
+        self._rebuild_jits()
+
+    def _rebuild_jits(self):
         self._loss_fn = jax.jit(
             self._build_loss_fn(
-                dataset.train_graph,
+                self.dataset.train_graph,
                 self.rel_graphs["train"],
-                dataset.train_graph.num_nodes,
+                self.dataset.train_graph.num_nodes,
             )
         )
         self._eval_fns = {
@@ -685,6 +736,11 @@ class MultiGraphPretrainTask(_TaskBase):
         # edge-count mixture weights, fixed at construction (engine.py:23-28)
         probs = np.array([g.num_edges for g in self.fact_graphs], np.float64)
         self._graph_probs = probs / probs.sum()
+        self._loss_fns = {}
+        self._eval_fns = {}
+
+    def _rebuild_jits(self):
+        # per-graph jits are built lazily — dropping the caches is enough
         self._loss_fns = {}
         self._eval_fns = {}
 
