@@ -709,7 +709,8 @@ def test_rotate_rejects_flat_and_odd_dims(rng):
 
 
 @pytest.mark.parametrize("msg", ["mul", "add"])
-def test_pallas_fused_maxmin_pair(rng, msg):
+@pytest.mark.parametrize("interleave", [0, 8])
+def test_pallas_fused_maxmin_pair(rng, msg, interleave):
     """generalized_rspmm_maxmin over blocked layouts: ONE kernel pass yields
     both extrema and one 4-plane argext backward both gradients — bitwise
     equal to the separate max and min pallas calls, fwd and grad (combine
@@ -720,7 +721,7 @@ def test_pallas_fused_maxmin_pair(rng, msg):
     V = x.shape[0]
     layouts = build_rspmm_layouts(
         ei, et, V, 6, tile_rows=16, tile_edges=32,
-        blocked=True, block_rows=16, bwd_block_rows=8,
+        blocked=True, block_rows=16, bwd_block_rows=8, interleave=interleave,
     )
     keep = (rng.uniform(size=w.shape) > 0.3).astype(np.float32)
     args = (jnp.asarray(ei), jnp.asarray(et), jnp.asarray(w * keep),
@@ -764,7 +765,8 @@ def test_pallas_fused_maxmin_pair(rng, msg):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_pallas_fused_addsq_pair(rng):
+@pytest.mark.parametrize("interleave", [0, 8])
+def test_pallas_fused_addsq_pair(rng, interleave):
     """generalized_rspmm_addsq over blocked layouts: one kernel yields
     (sum, sum-of-squares) and one moments backward both gradients — equal
     to the two-call formulation spmm(rel,x,add) + spmm(rel^2,x^2,add)
@@ -775,7 +777,7 @@ def test_pallas_fused_addsq_pair(rng):
     V = x.shape[0]
     layouts = build_rspmm_layouts(
         ei, et, V, 6, tile_rows=16, tile_edges=32,
-        blocked=True, block_rows=16, bwd_block_rows=8,
+        blocked=True, block_rows=16, bwd_block_rows=8, interleave=interleave,
     )
     keep = (rng.uniform(size=w.shape) > 0.3).astype(np.float32)
     args = (jnp.asarray(ei), jnp.asarray(et), jnp.asarray(w * keep),
@@ -805,3 +807,66 @@ def test_pallas_fused_addsq_pair(rng):
     for a, b in zip(g_f, g_s):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("msg", ["mul", "add"])
+@pytest.mark.parametrize("agg", ["add", "max", "min"])
+def test_pallas_run_interleaved_blocked(rng, msg, agg):
+    """interleave=8 blocked layouts (csr._interleave_bucket): lane-owned run
+    segments with the start flag in the packed word's sign bit. Forward and
+    gradients must match XLA for every msg x agg combo, including per-batch
+    weight masking and weight-0 edges (which participate as 0 in extrema)."""
+    ei, et, w, rel, rel_b, x, _ = make_graph(rng, V=37, E=400)
+    V = x.shape[0]
+    layouts = build_rspmm_layouts(
+        ei, et, V, 6, tile_rows=16, tile_edges=32, include_rel_layout=True,
+        blocked=True, block_rows=16, bwd_block_rows=8, interleave=8,
+    )
+    assert layouts.fwd_blk.interleave == 8
+    assert layouts.fwd_blk.start is not None
+    keep = (rng.uniform(size=w.shape) > 0.3).astype(np.float32)
+    args = (jnp.asarray(ei), jnp.asarray(et), jnp.asarray(w * keep),
+            jnp.asarray(rel_b), jnp.asarray(x))
+    want = generalized_rspmm(*args, msg=msg, agg=agg, num_nodes=V, impl="xla")
+    got = generalized_rspmm(*args, msg=msg, agg=agg, num_nodes=V,
+                            impl="pallas", layouts=layouts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(impl, lay):
+        def f(r, xx):
+            out = generalized_rspmm(args[0], args[1], args[2], r, xx,
+                                    msg=msg, agg=agg, num_nodes=V,
+                                    impl=impl, layouts=lay)
+            return jnp.sum(out * jnp.sin(out))
+        return f
+
+    g_xla = jax.grad(loss("xla", None), argnums=(0, 1))(args[3], args[4])
+    g_ilv = jax.grad(loss("pallas", layouts), argnums=(0, 1))(args[3], args[4])
+    for a, b in zip(g_xla, g_ilv):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_run_interleaved_empty_tiles(rng):
+    """Edge-free output tiles still zero under interleaved layouts (their
+    placeholder chunks are all-padding with forced lane starts)."""
+    V, E, R, B, D = 200, 150, 5, 2, 4
+    ei = np.stack([rng.integers(0, 48, E), rng.integers(0, 48, E)], 1).astype(np.int32)
+    et = rng.integers(0, R, E).astype(np.int32)
+    w = rng.uniform(0.5, 1.5, E).astype(np.float32)
+    rel = rng.normal(size=(R, D)).astype(np.float32)
+    x = rng.normal(size=(V, B, D)).astype(np.float32)
+    layouts = build_rspmm_layouts(ei, et, V, R, tile_rows=16, tile_edges=32,
+                                  include_rel_layout=True,
+                                  blocked=True, block_rows=16, interleave=8)
+    args = (jnp.asarray(ei), jnp.asarray(et), jnp.asarray(w),
+            jnp.asarray(rel), jnp.asarray(x))
+    for agg in ("add", "max"):
+        want = generalized_rspmm(*args, msg="mul", agg=agg, num_nodes=V,
+                                 impl="xla")
+        got = generalized_rspmm(*args, msg="mul", agg=agg, num_nodes=V,
+                                impl="pallas", layouts=layouts)
+        assert np.isfinite(np.asarray(got)).all()
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)

@@ -55,6 +55,16 @@ class CsrLayout:
     num_chunks: int = dataclasses.field(metadata=dict(static=True))
     block_rows: int = dataclasses.field(default=0, metadata=dict(static=True))
     num_blocks: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # run-interleaved blocked layout (interleave == K > 0): within each
+    # bucket, same-output-row RUNS are length-split and snake-assigned to K
+    # lanes; slot i belongs to lane i % K, so each of the kernel's K
+    # accumulators owns whole runs and a row flush is ONE RMW (no K-way
+    # accumulator sum, no per-edge row tags). `start` is 1 on the first slot
+    # of each run segment within its chunk. Padding slots duplicate the
+    # lane's last real edge (idempotent under extremum aggregation; add
+    # kernels kill them via valid -> weight 0).
+    start: object = None  # [C, TE] int32 or None
+    interleave: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def padded_rows(self) -> int:
@@ -174,6 +184,91 @@ def _finalize_layout(
     )
 
 
+def _interleave_bucket(rl_sorted: np.ndarray, K: int, lane_q: int):
+    """Lane assignment for one bucket of run-sorted edges.
+
+    rl_sorted: row_local of the bucket's edges, sorted so same-row runs are
+    contiguous. Runs longer than a cap are split (each segment flushes into
+    the same output row — add and extremum aggregation both compose),
+    segments are snake-assigned to K lanes by descending length (LPT-style
+    balance), and each lane is padded to a common length that is a multiple
+    of lane_q (so chunk boundaries preserve slot->lane alignment). The
+    segment cap starts at ceil(Eb/K) and halves until the lane imbalance
+    stops paying (finer splits cost one extra flush each but cut padding).
+
+    Returns (dup, valid, start, nslots): dup[slot] = bucket-edge index whose
+    fields the slot carries (padding duplicates the lane's last real edge),
+    valid[slot] in {0, 1}, start[slot] = 1 on segment-first slots."""
+    Eb = len(rl_sorted)
+    if Eb == 0:
+        n = lane_q * K
+        return (np.zeros(n, np.int64), np.zeros(n, np.float32),
+                np.zeros(n, np.int32), n)
+    run_break = np.empty(Eb, bool)
+    run_break[0] = True
+    run_break[1:] = rl_sorted[1:] != rl_sorted[:-1]
+    run_id = np.cumsum(run_break) - 1
+    run_start_idx = np.flatnonzero(run_break)
+    within_run = np.arange(Eb) - run_start_idx[run_id]
+    ideal = -(-Eb // K)
+
+    def assign(Lmax):
+        seg_break = run_break | (within_run % Lmax == 0)
+        seg_id = np.cumsum(seg_break) - 1
+        seg_start = np.flatnonzero(seg_break)
+        nseg = len(seg_start)
+        seg_len = np.diff(np.append(seg_start, Eb))
+        # snake-assign segments to lanes in descending length order
+        order_seg = np.argsort(-seg_len, kind="stable")
+        r = np.arange(nseg) % (2 * K)
+        lane_of_rank = np.where(r < K, r, 2 * K - 1 - r)
+        lane = np.empty(nseg, np.int64)
+        lane[order_seg] = lane_of_rank
+        # per-segment offset within its lane (assignment order): group by
+        # lane, running sum of lengths
+        rank_in = np.empty(nseg, np.int64)
+        rank_in[order_seg] = np.arange(nseg)
+        o2 = np.lexsort((rank_in, lane))
+        len_sorted = seg_len[o2]
+        csum = np.cumsum(len_sorted) - len_sorted
+        lane_first = np.empty(nseg, bool)
+        lane_first[0] = True
+        lane_first[1:] = lane[o2][1:] != lane[o2][:-1]
+        base = np.where(lane_first, csum, 0)
+        np.maximum.accumulate(base, out=base)
+        seg_off = np.empty(nseg, np.int64)
+        seg_off[o2] = csum - base
+        lane_tot = np.bincount(
+            lane, weights=seg_len, minlength=K).astype(np.int64)
+        within_seg = within_run % Lmax
+        return seg_id, seg_off, lane, lane_tot, within_seg
+
+    # a padding slot costs a full per-edge body pass (~17 cyc) while an
+    # extra flush costs ~5 — split aggressively: tolerate only one VPU-group
+    # (8 slots) of imbalance before halving the cap
+    Lmax = max(1, ideal)
+    seg_id, seg_off, lane, lane_tot, within_seg = assign(Lmax)
+    while int(lane_tot.max()) > ideal + 8 and Lmax > 8:
+        Lmax = max(8, Lmax // 2)
+        seg_id, seg_off, lane, lane_tot, within_seg = assign(Lmax)
+    lane_len = max(lane_q, -(-int(lane_tot.max()) // lane_q) * lane_q)
+    nslots = lane_len * K
+    pos = (seg_off[seg_id] + within_seg) * K + lane[seg_id]
+    dup = np.zeros(nslots, np.int64)
+    dup[pos] = np.arange(Eb)
+    valid = np.zeros(nslots, np.float32)
+    valid[pos] = 1.0
+    start = np.zeros(nslots, np.int32)
+    start[pos[within_seg == 0]] = 1
+    # pad lane tails with the lane's last real edge (empty lanes: edge 0)
+    last_slot = np.maximum(lane_tot - 1, 0) * K + np.arange(K)
+    lane_last_edge = np.where(lane_tot > 0, dup[last_slot], 0)
+    for j in range(K):
+        if lane_tot[j] < lane_len:
+            dup[np.arange(lane_tot[j], lane_len) * K + j] = lane_last_edge[j]
+    return dup, valid, start, nslots
+
+
 def build_blocked_layout(
     row_ids: np.ndarray,
     gather1_ids: np.ndarray,
@@ -183,6 +278,7 @@ def build_blocked_layout(
     block_rows: int = 1024,
     tile_rows: int = 1024,
     tile_edges: int = 256,
+    interleave: int = 0,
 ) -> CsrLayout:
     """Bucket edges by (output row tile, SOURCE block), sort by output row
     within each bucket, and chunk to tile_edges. The kernel then visits
@@ -190,8 +286,14 @@ def build_blocked_layout(
     buckets, each bucket's source block arrives as ONE pipelined BlockSpec
     fetch, and per-edge gathers become VMEM reads. Streaming traffic is
     num_row_tiles * num_gather_rows * F bytes — choose this layout when that
-    beats per-edge row DMAs (V^2/tile_rows < E, heavy-multigraph KGs)."""
+    beats per-edge row DMAs (V^2/tile_rows < E, heavy-multigraph KGs).
+
+    interleave=K > 0 additionally RUN-INTERLEAVES each bucket across K
+    accumulator lanes (see CsrLayout.start): real KG buckets have mean run
+    lengths of ~3-4, where the contiguous layout's K-way flush machinery
+    costs ~10 cycles/edge — lane-owned runs flush with one RMW."""
     assert tile_edges % 8 == 0
+    assert interleave == 0 or tile_edges % interleave == 0
     row_ids = np.asarray(row_ids, np.int64)
     gather1_ids = np.asarray(gather1_ids, np.int64)
     aux_ids = np.asarray(aux_ids, np.int32)
@@ -203,29 +305,91 @@ def build_blocked_layout(
     order = np.lexsort((row_ids, sb, rt))
     bucket = (rt * nb + sb)[order]
     counts = np.bincount(bucket, minlength=nt * nb)
-    aligned = ((counts + tile_edges - 1) // tile_edges) * tile_edges
-    # every output tile needs >= 1 chunk (the kernel zeroes a tile only when
-    # a chunk targeting it arrives): give empty tiles one padding chunk in
-    # their (t, 0) bucket
-    tile_chunks = aligned.reshape(nt, nb)
-    empty_tiles = tile_chunks.sum(axis=1) == 0
-    tile_chunks[empty_tiles, 0] = tile_edges
-    aligned = tile_chunks.reshape(-1)
-    starts = np.concatenate([[0], np.cumsum(aligned)])[:-1]
-    orig_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
-    pos = starts[bucket] + (np.arange(E) - orig_starts[bucket])
-    E2 = int(aligned.sum())
+    if interleave:
+        K = interleave
+        lane_q = tile_edges // K
+        rl_all = (row_ids - rt * tile_rows)[order]
+        bstarts = np.concatenate([[0], np.cumsum(counts)])
+        dups, valids, starts_f, aligned = [], [], [], np.zeros_like(counts)
+        nonempty = np.flatnonzero(counts)
+        # empty tiles still need one placeholder chunk in their (t, 0) bucket
+        tile_has = counts.reshape(nt, nb).sum(axis=1) > 0
+        placeholder = np.flatnonzero(~tile_has) * nb
+        todo = np.union1d(nonempty, placeholder)
+        pieces = {}
+        for b in todo:
+            lo, hi = bstarts[b], bstarts[b + 1]
+            dup, val, st, n = _interleave_bucket(rl_all[lo:hi], K, lane_q)
+            # placeholder (edge-free) buckets keep dup=0 absolute — their
+            # fields are forced inert below
+            pieces[b] = (dup + lo if hi > lo else dup, val, st)
+            aligned[b] = n
+        starts = np.concatenate([[0], np.cumsum(aligned)])[:-1]
+        E2 = int(aligned.sum())
+        take = np.zeros(E2, np.int64)  # slot -> index into sorted edges
+        valid = np.zeros(E2, np.float32)
+        start_arr = np.zeros(E2, np.int32)
+        for b in todo:
+            dup, val, st = pieces[b]
+            s = starts[b]
+            n = aligned[b]
+            take[s : s + n] = dup
+            valid[s : s + n] = val
+            start_arr[s : s + n] = st
+        # force a segment start on every lane's first slot of every chunk:
+        # kernels then never carry lane state (acc/mark/current-src row)
+        # across chunk boundaries — flushing a fresh accumulator is a no-op,
+        # and partial-run flushes compose under both add and extremum
+        if E2:
+            cfirst = (np.arange(E2 // tile_edges)[:, None] * tile_edges
+                      + np.arange(K)).ravel()
+            start_arr[cfirst] = 1
+        g1s = (gather1_ids - sb * block_rows)[order]
+        auxs = aux_ids[order]
+        rls = rl_all
+        eids = order.astype(np.int32)
+        has_any = E > 0
+        g1 = g1s[take] if has_any else np.zeros(E2, np.int64)
+        aux = auxs[take] if has_any else np.zeros(E2, np.int32)
+        row_local = rls[take] if has_any else np.zeros(E2, np.int64)
+        edge_id = eids[take] if has_any else np.zeros(E2, np.int32)
+        # placeholder buckets (no edges anywhere in the take range) carry
+        # zeros already via take=0 of an unrelated edge — force them inert
+        if len(placeholder) and has_any:
+            for b in placeholder:
+                s, n = starts[b], aligned[b]
+                g1[s : s + n] = 0
+                aux[s : s + n] = 0
+                row_local[s : s + n] = 0
+                edge_id[s : s + n] = 0
+        g1 = g1.astype(np.int32)
+        aux = aux.astype(np.int32)
+        row_local = row_local.astype(np.int32)
+    else:
+        aligned = ((counts + tile_edges - 1) // tile_edges) * tile_edges
+        # every output tile needs >= 1 chunk (the kernel zeroes a tile only
+        # when a chunk targeting it arrives): give empty tiles one padding
+        # chunk in their (t, 0) bucket
+        tile_chunks = aligned.reshape(nt, nb)
+        empty_tiles = tile_chunks.sum(axis=1) == 0
+        tile_chunks[empty_tiles, 0] = tile_edges
+        aligned = tile_chunks.reshape(-1)
+        starts = np.concatenate([[0], np.cumsum(aligned)])[:-1]
+        orig_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        pos = starts[bucket] + (np.arange(E) - orig_starts[bucket])
+        E2 = int(aligned.sum())
+        start_arr = None
 
-    def scatter(vals, fill=0, dtype=np.int32):
-        out = np.full(E2, fill, dtype)
-        out[pos] = vals.astype(dtype)
-        return out
+        def scatter(vals, fill=0, dtype=np.int32):
+            out = np.full(E2, fill, dtype)
+            out[pos] = vals.astype(dtype)
+            return out
 
-    g1 = scatter(gather1_ids[order] - sb[order] * block_rows)
-    aux = scatter(aux_ids[order])
-    row_local = scatter(row_ids[order] - rt[order] * tile_rows)
-    edge_id = scatter(order.astype(np.int32))
-    valid = scatter(np.ones(E, np.float32), 0.0, np.float32)
+        g1 = scatter(gather1_ids[order] - sb[order] * block_rows)
+        aux = scatter(aux_ids[order])
+        row_local = scatter(row_ids[order] - rt[order] * tile_rows)
+        edge_id = scatter(order.astype(np.int32))
+        valid = scatter(np.ones(E, np.float32), 0.0, np.float32)
 
     C = E2 // tile_edges
     chunk_bucket = (
@@ -295,6 +459,8 @@ def build_blocked_layout(
         num_chunks=Cp,
         block_rows=block_rows,
         num_blocks=nb,
+        start=None if start_arr is None else to_chunks(start_arr),
+        interleave=interleave,
     )
 
 
@@ -402,6 +568,7 @@ def build_rspmm_layouts(
     block_rows: int = 1024,
     bwd_block_rows: int = None,
     blocked_tile_edges: int = None,
+    interleave="auto",
 ) -> RspmmLayouts:
     """hot_rows > 0 splits forward edges by source hotness: the hot_rows
     highest-out-degree sources' rows live in VMEM during the forward kernel
@@ -429,11 +596,22 @@ def build_rspmm_layouts(
     # keep fed, so larger chunks just amortize per-chunk costs (meta DMA wait,
     # loop prologue) — measured -2 ms on the fused backward at the bench shape
     bte = blocked_tile_edges or 2 * tile_edges
+    if interleave == "auto":
+        # run-interleaved blocked layouts (lane-owned run segments; see
+        # _interleave_bucket). Requires the packed-metadata bounds — the
+        # start flag rides the packed word's sign bit.
+        import os
+
+        want = int(os.environ.get("RSPMM_ILV", "0"))
+        fits = (block_rows <= 1024 and (bwd_block_rows or 1) <= 1024
+                and num_relations + 8 < 2048)
+        interleave = 8 if (want and fits) else 0
     fwd_blk = rev_blk = None
     if blocked:
         fwd_blk = build_blocked_layout(
             dst, src, edge_type, num_nodes, num_nodes,
             block_rows=block_rows, tile_rows=block_rows, tile_edges=bte,
+            interleave=interleave,
         )
         # bwd: FULL-size output (dx/x) tiles — streaming traffic scales with
         # V^2/tile_rows, so shrinking only the streamed-g block (not the dx
@@ -442,7 +620,7 @@ def build_rspmm_layouts(
         rev_blk = build_blocked_layout(
             src, dst, edge_type, num_nodes, num_nodes,
             block_rows=bwd_block_rows, tile_rows=block_rows,
-            tile_edges=bte,
+            tile_edges=bte, interleave=interleave,
         )
     rel_layout = None
     if include_rel_layout:

@@ -438,6 +438,248 @@ def _kernel_one_gather_vmem(
     out_ref[pl.ds(d_last, 1)] = combine(out_ref[pl.ds(d_last, 1)], total[None])
 
 
+def _decode_meta_ilv(mbuf, slot, i):
+    """Interleaved packed word: start << 31 | gather << 21 | aux << 10 |
+    row_local (see _pack_meta_ilv). start rides the sign bit — the three
+    field decodes mask it off, so it costs nothing extra."""
+    m = mbuf[slot, 0, i]
+    return (m >> 21) & 1023, (m >> 10) & 2047, m & 1023, m < 0
+
+
+def _kernel_one_gather_ilv(
+    cr_ref, meta_hbm, w_hbm, data_ref, *rest, mode: str, num_chunks: int,
+    agg: str = "add",
+):
+    """Run-interleaved blocked forward (csr.build_blocked_layout
+    interleave=NACC): lane j = slot j % NACC owns whole run segments, so a
+    row flush is ONE telescoped RMW (add: per-lane mark scratch row) or ONE
+    combine RMW (extremum) — no NACC-way accumulator sum, no per-edge row
+    tags. Contiguous-body flush machinery costs ~10 cyc/edge at the real
+    mean run length of ~3-4; this body pays ~flush/runlen."""
+    *rest, xblk, xsems = rest
+    if mode == "none":
+        out_ref, mbuf, wbuf, msems, wsems, mark_ref = rest
+        rel_ref = None
+    else:
+        rel_ref, out_ref, mbuf, wbuf, msems, wsems, mark_ref = rest
+    c = pl.program_id(0)
+    slot = jax.lax.rem(c, 2)
+    nxt = jax.lax.rem(c + 1, 2)
+    neutral = _agg_neutral(agg)
+    combine = _agg_combine(agg)
+
+    @pl.when(cr_ref[0, c] != cr_ref[1, c])
+    def _():
+        out_ref[...] = jnp.full_like(out_ref, neutral)
+
+    @pl.when(c == 0)
+    def _():
+        md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, 0, 0)
+        md.start()
+        wd.start()
+
+    md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c, slot)
+    md.wait()
+    wd.wait()
+
+    @pl.when(c + 1 < num_chunks)
+    def _():
+        md2, wd2 = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c + 1, nxt)
+        md2.start()
+        wd2.start()
+
+    bslot = _stream_preamble(cr_ref, data_ref, xblk, xsems, c)
+    te = mbuf.shape[-1]
+
+    def message(gi, ai):
+        xrow = xblk[bslot, gi]
+        if mode == "mul_rel":
+            return rel_ref[ai] * xrow
+        if mode == "add_rel":
+            return rel_ref[ai] + xrow
+        if mode == "rot_rel":
+            return _cplx_mul(rel_ref[ai], xrow)
+        return xrow
+
+    zrow = jnp.zeros(out_ref.shape[1:], jnp.float32)
+
+    if agg == "add":
+        # per-lane telescoping: mark_ref[j] snapshots acc[j] at its last
+        # flush; padding slots carry w=0 and change nothing
+        mark_ref[...] = jnp.zeros_like(mark_ref)
+
+        def body(q, carry):
+            pds = list(carry[:NACC])
+            accs = list(carry[NACC:])
+            for j in range(NACC):
+                i = q * NACC + j
+                gi, ai, d, start = _decode_meta_ilv(mbuf, slot, i)
+                w = wbuf[slot, 0, i]
+
+                @pl.when(start)
+                def _(pd=pds[j], acc=accs[j], j=j):
+                    out_ref[pl.ds(pd, 1)] = (
+                        out_ref[pl.ds(pd, 1)]
+                        + (acc - mark_ref[pl.ds(j, 1)][0])[None]
+                    )
+                    mark_ref[pl.ds(j, 1)] = acc[None]
+
+                accs[j] = accs[j] + message(gi, ai).astype(jnp.float32) * w
+                pds[j] = d
+            return (*pds, *accs)
+
+        state = jax.lax.fori_loop(
+            0, te // NACC, body, (jnp.int32(0),) * NACC + (zrow,) * NACC
+        )
+        pds, accs = state[:NACC], state[NACC:]
+        for j in range(NACC):
+            out_ref[pl.ds(pds[j], 1)] = (
+                out_ref[pl.ds(pds[j], 1)]
+                + (accs[j] - mark_ref[pl.ds(j, 1)][0])[None]
+            )
+        return
+
+    # extremum: acc resets to the incoming message on segment starts;
+    # alignment-padding slots (valid=0) become neutral — weight-0 REAL edges
+    # still participate as 0 (the reference kernel's semantics)
+    nrow = jnp.full(out_ref.shape[1:], neutral, jnp.float32)
+
+    def body(q, carry):
+        pds = list(carry[:NACC])
+        accs = list(carry[NACC:])
+        for j in range(NACC):
+            i = q * NACC + j
+            gi, ai, d, start = _decode_meta_ilv(mbuf, slot, i)
+            w = wbuf[slot, 0, i]
+            msg = message(gi, ai).astype(jnp.float32) * w
+            msg = jnp.where(mbuf[slot, 3, i] != 0, msg, neutral)
+
+            @pl.when(start)
+            def _(pd=pds[j], acc=accs[j]):
+                out_ref[pl.ds(pd, 1)] = combine(
+                    out_ref[pl.ds(pd, 1)], acc[None]
+                )
+
+            accs[j] = jnp.where(start, msg, combine(accs[j], msg))
+            pds[j] = d
+        return (*pds, *accs)
+
+    state = jax.lax.fori_loop(
+        0, te // NACC, body, (jnp.int32(0),) * NACC + (nrow,) * NACC
+    )
+    pds, accs = state[:NACC], state[NACC:]
+    for j in range(NACC):
+        out_ref[pl.ds(pds[j], 1)] = combine(
+            out_ref[pl.ds(pds[j], 1)], accs[j][None]
+        )
+
+
+def _kernel_bwd_fused_ilv(
+    cr_ref, meta_hbm, w_hbm, g_ref, rel_ref, x_ref, dx_ref, dr_ref,
+    mbuf, wbuf, msems, wsems, mark_ref, xrow_ref, gblk, gsems, *,
+    mode: str, num_chunks: int,
+    argext: bool = False, argext_pair: bool = False, moments: bool = False,
+):
+    """Run-interleaved fused backward (distmult/rotate; argext/moments pair
+    variants stream packed multi-plane dst blocks — see
+    _kernel_bwd_fused_vmem for the per-edge math): lane-owned src segments —
+    dx flushes are one telescoped RMW per segment and the current-src x row
+    is refreshed per lane on segment starts (xrow_ref[j]). dr keeps the
+    per-edge RMW of the contiguous body. Padding slots carry w=0, so every
+    gradient term dies through w."""
+    c = pl.program_id(0)
+    slot = jax.lax.rem(c, 2)
+    nxt = jax.lax.rem(c + 1, 2)
+
+    @pl.when(cr_ref[0, c] != cr_ref[1, c])
+    def _():
+        dx_ref[...] = jnp.zeros_like(dx_ref)
+
+    @pl.when(c == 0)
+    def _():
+        dr_ref[...] = jnp.zeros_like(dr_ref)
+        md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, 0, 0)
+        md.start()
+        wd.start()
+
+    md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c, slot)
+    md.wait()
+    wd.wait()
+
+    @pl.when(c + 1 < num_chunks)
+    def _():
+        md2, wd2 = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c + 1, nxt)
+        md2.start()
+        wd2.start()
+
+    bslot = _stream_preamble(cr_ref, g_ref, gblk, gsems, c)
+    te = mbuf.shape[-1]
+    mark_ref[...] = jnp.zeros_like(mark_ref)
+    zrow = jnp.zeros(dx_ref.shape[1:], jnp.float32)
+
+    def body(q, carry):
+        pds = list(carry[:NACC])
+        accs = list(carry[NACC:])
+        for j in range(NACC):
+            i = q * NACC + j
+            gi, r, d, start = _decode_meta_ilv(mbuf, slot, i)
+            w = wbuf[slot, 0, i]
+
+            @pl.when(start)
+            def _(pd=pds[j], acc=accs[j], j=j, d=d):
+                dx_ref[pl.ds(pd, 1)] = (
+                    dx_ref[pl.ds(pd, 1)]
+                    + (acc - mark_ref[pl.ds(j, 1)][0])[None]
+                )
+                mark_ref[pl.ds(j, 1)] = acc[None]
+                xrow_ref[pl.ds(j, 1)] = x_ref[pl.ds(d, 1)]
+
+            grow = gblk[bslot, gi]
+            xrow = xrow_ref[pl.ds(j, 1)][0].astype(jnp.float32)
+            if moments:
+                m = (rel_ref[r].astype(jnp.float32) * xrow)
+                inner = grow[0] * w + (2.0 * m) * (grow[1] * w)
+                dx_msg = rel_ref[r].astype(jnp.float32) * inner
+                dr_msg = xrow * inner
+            elif argext or argext_pair:
+                if mode == "mul":
+                    msg = (rel_ref[r].astype(jnp.float32) * xrow) * w
+                else:
+                    msg = (rel_ref[r].astype(jnp.float32) + xrow) * w
+                gws = jnp.where(msg == grow[1], grow[0] * w, 0.0)
+                if argext_pair:
+                    gws = gws + jnp.where(msg == grow[3], grow[2] * w, 0.0)
+                if mode == "mul":
+                    dx_msg = rel_ref[r].astype(jnp.float32) * gws
+                    dr_msg = xrow * gws
+                else:
+                    dx_msg = gws
+                    dr_msg = gws
+            else:
+                gw = grow.astype(jnp.float32) * w
+                if mode == "rotate":
+                    dx_msg = _cplx_conj_mul(
+                        rel_ref[r].astype(jnp.float32), gw)
+                    dr_msg = _cplx_conj_mul(xrow, gw)
+                else:
+                    dx_msg = rel_ref[r].astype(jnp.float32) * gw
+                    dr_msg = xrow * gw
+            accs[j] = accs[j] + dx_msg
+            dr_ref[pl.ds(r, 1)] = dr_ref[pl.ds(r, 1)] + dr_msg[None]
+            pds[j] = d
+        return (*pds, *accs)
+
+    state = jax.lax.fori_loop(
+        0, te // NACC, body, (jnp.int32(0),) * NACC + (zrow,) * NACC
+    )
+    pds, accs = state[:NACC], state[NACC:]
+    for j in range(NACC):
+        dx_ref[pl.ds(pds[j], 1)] = (
+            dx_ref[pl.ds(pds[j], 1)]
+            + (accs[j] - mark_ref[pl.ds(j, 1)][0])[None]
+        )
+
+
 def _kernel_bwd_fused_vmem(
     cr_ref, meta_hbm, w_hbm, g_ref, rel_ref, x_ref, dx_ref, dr_ref,
     mbuf, wbuf, msems, wsems, mark_ref, xrow_ref, *rest, mode: str,
@@ -681,6 +923,180 @@ def _kernel_gather_maxmin_vmem(
         tmn = jnp.minimum(tmn, jnp.where(sel, amn[k], _BIG))
     omx_ref[pl.ds(d_last, 1)] = jnp.maximum(omx_ref[pl.ds(d_last, 1)], tmx[None])
     omn_ref[pl.ds(d_last, 1)] = jnp.minimum(omn_ref[pl.ds(d_last, 1)], tmn[None])
+
+
+def _kernel_gather_maxmin_ilv(
+    cr_ref, meta_hbm, w_hbm, data_ref, rel_ref, omx_ref, omn_ref,
+    mbuf, wbuf, msems, wsems, xblk, xsems,
+    *, mode: str, num_chunks: int,
+):
+    """Run-interleaved fused max+min forward: lane-owned run segments — the
+    shared-tag machinery of the contiguous body (2 selects + a 2K-combine
+    flush per row change) collapses to one combine-RMW pair per segment.
+    Results stay bitwise identical to separate max/min kernels."""
+    c = pl.program_id(0)
+    slot = jax.lax.rem(c, 2)
+    nxt = jax.lax.rem(c + 1, 2)
+
+    @pl.when(cr_ref[0, c] != cr_ref[1, c])
+    def _():
+        omx_ref[...] = jnp.full_like(omx_ref, -_BIG)
+        omn_ref[...] = jnp.full_like(omn_ref, _BIG)
+
+    @pl.when(c == 0)
+    def _():
+        md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, 0, 0)
+        md.start()
+        wd.start()
+
+    md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c, slot)
+    md.wait()
+    wd.wait()
+
+    @pl.when(c + 1 < num_chunks)
+    def _():
+        md2, wd2 = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c + 1, nxt)
+        md2.start()
+        wd2.start()
+
+    bslot = _stream_preamble(cr_ref, data_ref, xblk, xsems, c)
+    te = mbuf.shape[-1]
+
+    def body(q, carry):
+        pds = list(carry[:NACC])
+        amx = list(carry[NACC : 2 * NACC])
+        amn = list(carry[2 * NACC :])
+        for j in range(NACC):
+            i = q * NACC + j
+            gi, ai, d, start = _decode_meta_ilv(mbuf, slot, i)
+            xrow = xblk[bslot, gi]
+            w = wbuf[slot, 0, i]
+            if mode == "mul_rel":
+                msg = rel_ref[ai] * xrow
+            else:
+                msg = rel_ref[ai] + xrow
+            msg = msg.astype(jnp.float32) * w
+            valid = mbuf[slot, 3, i] != 0
+            mmx = jnp.where(valid, msg, -_BIG)
+            mmn = jnp.where(valid, msg, _BIG)
+
+            @pl.when(start)
+            def _(pd=pds[j], ax=amx[j], an=amn[j]):
+                omx_ref[pl.ds(pd, 1)] = jnp.maximum(
+                    omx_ref[pl.ds(pd, 1)], ax[None]
+                )
+                omn_ref[pl.ds(pd, 1)] = jnp.minimum(
+                    omn_ref[pl.ds(pd, 1)], an[None]
+                )
+
+            amx[j] = jnp.where(start, mmx, jnp.maximum(amx[j], mmx))
+            amn[j] = jnp.where(start, mmn, jnp.minimum(amn[j], mmn))
+            pds[j] = d
+        return (*pds, *amx, *amn)
+
+    zmx = jnp.full(omx_ref.shape[1:], -_BIG, jnp.float32)
+    zmn = jnp.full(omn_ref.shape[1:], _BIG, jnp.float32)
+    state = jax.lax.fori_loop(
+        0, te // NACC, body,
+        (jnp.int32(0),) * NACC + (zmx,) * NACC + (zmn,) * NACC,
+    )
+    pds = state[:NACC]
+    amx = state[NACC : 2 * NACC]
+    amn = state[2 * NACC :]
+    for j in range(NACC):
+        omx_ref[pl.ds(pds[j], 1)] = jnp.maximum(
+            omx_ref[pl.ds(pds[j], 1)], amx[j][None]
+        )
+        omn_ref[pl.ds(pds[j], 1)] = jnp.minimum(
+            omn_ref[pl.ds(pds[j], 1)], amn[j][None]
+        )
+
+
+def _kernel_gather_addsq_ilv(
+    cr_ref, meta_hbm, w_hbm, data_ref, rel_ref, os_ref, oq_ref,
+    mbuf, wbuf, msems, wsems, mark_s, mark_q, xblk, xsems,
+    *, mode: str, num_chunks: int,
+):
+    """Run-interleaved fused sum + sum-of-squares forward (distmult):
+    per-lane telescoping marks for both moments; padding carries w=0."""
+    assert mode == "mul_rel", mode
+    c = pl.program_id(0)
+    slot = jax.lax.rem(c, 2)
+    nxt = jax.lax.rem(c + 1, 2)
+
+    @pl.when(cr_ref[0, c] != cr_ref[1, c])
+    def _():
+        os_ref[...] = jnp.zeros_like(os_ref)
+        oq_ref[...] = jnp.zeros_like(oq_ref)
+
+    @pl.when(c == 0)
+    def _():
+        md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, 0, 0)
+        md.start()
+        wd.start()
+
+    md, wd = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c, slot)
+    md.wait()
+    wd.wait()
+
+    @pl.when(c + 1 < num_chunks)
+    def _():
+        md2, wd2 = _meta_dmas(meta_hbm, w_hbm, mbuf, wbuf, msems, wsems, c + 1, nxt)
+        md2.start()
+        wd2.start()
+
+    bslot = _stream_preamble(cr_ref, data_ref, xblk, xsems, c)
+    te = mbuf.shape[-1]
+    mark_s[...] = jnp.zeros_like(mark_s)
+    mark_q[...] = jnp.zeros_like(mark_q)
+
+    def body(q, carry):
+        pds = list(carry[:NACC])
+        acs = list(carry[NACC : 2 * NACC])
+        acq = list(carry[2 * NACC :])
+        for j in range(NACC):
+            i = q * NACC + j
+            gi, ai, d, start = _decode_meta_ilv(mbuf, slot, i)
+            xrow = xblk[bslot, gi]
+            w = wbuf[slot, 0, i]
+            msg = (rel_ref[ai] * xrow).astype(jnp.float32)
+            mw = msg * w
+
+            @pl.when(start)
+            def _(pd=pds[j], asj=acs[j], aqj=acq[j], j=j):
+                os_ref[pl.ds(pd, 1)] = (
+                    os_ref[pl.ds(pd, 1)]
+                    + (asj - mark_s[pl.ds(j, 1)][0])[None]
+                )
+                oq_ref[pl.ds(pd, 1)] = (
+                    oq_ref[pl.ds(pd, 1)]
+                    + (aqj - mark_q[pl.ds(j, 1)][0])[None]
+                )
+                mark_s[pl.ds(j, 1)] = asj[None]
+                mark_q[pl.ds(j, 1)] = aqj[None]
+
+            acs[j] = acs[j] + mw
+            acq[j] = acq[j] + msg * mw
+            pds[j] = d
+        return (*pds, *acs, *acq)
+
+    zrow = jnp.zeros(os_ref.shape[1:], jnp.float32)
+    state = jax.lax.fori_loop(
+        0, te // NACC, body,
+        (jnp.int32(0),) * NACC + (zrow,) * (2 * NACC),
+    )
+    pds = state[:NACC]
+    acs = state[NACC : 2 * NACC]
+    acq = state[2 * NACC :]
+    for j in range(NACC):
+        os_ref[pl.ds(pds[j], 1)] = (
+            os_ref[pl.ds(pds[j], 1)]
+            + (acs[j] - mark_s[pl.ds(j, 1)][0])[None]
+        )
+        oq_ref[pl.ds(pds[j], 1)] = (
+            oq_ref[pl.ds(pds[j], 1)]
+            + (acq[j] - mark_q[pl.ds(j, 1)][0])[None]
+        )
 
 
 def _kernel_gather_addsq_vmem(
@@ -1236,6 +1652,21 @@ def _packed_ok(layout: CsrLayout, rel_rows: int) -> bool:
             and rel_rows < 2048)
 
 
+def _pack_meta_ilv(layout: CsrLayout, index_chunks, second):
+    """Interleaved-layout metadata: the packed word additionally carries the
+    segment-start flag in the SIGN bit (start << 31 | gather << 21 |
+    aux << 10 | row_local — decode masks make the flag free). Requires the
+    same bounds as _pack_meta_packed; interleaved layouts are only built
+    when they hold. Row 3 keeps the valid flag (extremum padding mask)."""
+    start = layout.start.astype(jnp.int32)
+    packed = ((start << 31) | (index_chunks << 21) | (second << 10)
+              | layout.row_local)
+    return jnp.stack(
+        [packed, second, layout.row_local, layout.valid.astype(jnp.int32)],
+        axis=1,
+    )
+
+
 def _pack_meta(layout: CsrLayout, index_chunks, second):
     """[C, 4, TE] int32: (gather index, aux/second index, row offset, valid).
     4 rows because i32 HBM slices must align to the sublane tiling; the valid
@@ -1310,14 +1741,22 @@ def rspmm_gather1(
         # VMEM-resident source block, double-buffered by the kernel itself a
         # whole bucket ahead (_stream_preamble); metadata is packed to one
         # SMEM word per edge when the bounds fit
-        packed = _packed_ok(layout, rel_rows)
-        kernel = functools.partial(
-            _kernel_one_gather_vmem, mode=mode,
-            num_chunks=layout.num_chunks, agg=agg, packed=packed,
-            manual_stream=True,
-        )
-        if packed:
-            meta = _pack_meta_packed(layout, index_chunks, aux)
+        if layout.interleave:
+            assert layout.interleave == NACC and _packed_ok(layout, rel_rows)
+            kernel = functools.partial(
+                _kernel_one_gather_ilv, mode=mode,
+                num_chunks=layout.num_chunks, agg=agg,
+            )
+            meta = _pack_meta_ilv(layout, index_chunks, aux)
+        else:
+            packed = _packed_ok(layout, rel_rows)
+            kernel = functools.partial(
+                _kernel_one_gather_vmem, mode=mode,
+                num_chunks=layout.num_chunks, agg=agg, packed=packed,
+                manual_stream=True,
+            )
+            if packed:
+                meta = _pack_meta_packed(layout, index_chunks, aux)
         vg = layout.padded_gather_rows
         if data.shape[0] < vg:
             data = jnp.pad(data, ((0, vg - data.shape[0]), (0, 0)))
@@ -1385,8 +1824,11 @@ def rspmm_gather1(
                 pltpu.VMEM((NGRP * GROUP, ft, _LANE), xbuf_dtype),
                 pltpu.SemaphoreType.DMA((NGRP,)),
             ]
-        # telescoping mark (agg='add'; allocated but untouched for min/max)
-        scratch.append(pltpu.VMEM((ft, _LANE), jnp.float32))
+        # telescoping mark (agg='add'; allocated but untouched for min/max);
+        # interleaved bodies keep one mark row per lane
+        mark_shape = ((NACC, ft, _LANE) if (blocked and layout.interleave)
+                      else (ft, _LANE))
+        scratch.append(pltpu.VMEM(mark_shape, jnp.float32))
         if blocked:  # manual block-stream double buffer + its DMA sems
             scratch += [
                 pltpu.VMEM((2, layout.block_rows, ft, _LANE), xbuf_dtype),
@@ -1456,10 +1898,22 @@ def rspmm_gather_maxmin(
     rel_rows = relation.shape[0]
 
     packed = _packed_ok(layout, rel_rows)
-    if packed:
-        meta = _pack_meta_packed(layout, index_chunks, layout.aux)
+    if layout.interleave:
+        assert layout.interleave == NACC and packed
+        meta = _pack_meta_ilv(layout, index_chunks, layout.aux)
+        kernel = functools.partial(
+            _kernel_gather_maxmin_ilv, mode=mode,
+            num_chunks=layout.num_chunks,
+        )
     else:
-        meta = _pack_meta(layout, index_chunks, layout.aux)
+        if packed:
+            meta = _pack_meta_packed(layout, index_chunks, layout.aux)
+        else:
+            meta = _pack_meta(layout, index_chunks, layout.aux)
+        kernel = functools.partial(
+            _kernel_gather_maxmin_vmem, mode=mode,
+            num_chunks=layout.num_chunks, packed=packed,
+        )
     w3 = w_chunks[:, None, :]
     vg = layout.padded_gather_rows
     if data.shape[0] < vg:
@@ -1468,11 +1922,6 @@ def rspmm_gather_maxmin(
     per_f = rel_rows + 4 * tv + 2 * layout.block_rows + 16
     tf = max(_LANE, ((80 * 1024 * 1024 // 4) // per_f) // _LANE * _LANE)
     tf = min(F_pad, tf)
-
-    kernel = functools.partial(
-        _kernel_gather_maxmin_vmem, mode=mode,
-        num_chunks=layout.num_chunks, packed=packed,
-    )
     mx_pieces, mn_pieces = [], []
     for f0 in range(0, F_pad, tf):
         fw = min(tf, F_pad - f0)
@@ -1561,10 +2010,22 @@ def rspmm_gather_addsq(
     rel_rows = relation.shape[0]
 
     packed = _packed_ok(layout, rel_rows)
-    if packed:
-        meta = _pack_meta_packed(layout, index_chunks, layout.aux)
+    if layout.interleave:
+        assert layout.interleave == NACC and packed
+        meta = _pack_meta_ilv(layout, index_chunks, layout.aux)
+        kernel = functools.partial(
+            _kernel_gather_addsq_ilv, mode="mul_rel",
+            num_chunks=layout.num_chunks,
+        )
     else:
-        meta = _pack_meta(layout, index_chunks, layout.aux)
+        if packed:
+            meta = _pack_meta_packed(layout, index_chunks, layout.aux)
+        else:
+            meta = _pack_meta(layout, index_chunks, layout.aux)
+        kernel = functools.partial(
+            _kernel_gather_addsq_vmem, mode="mul_rel",
+            num_chunks=layout.num_chunks, packed=packed,
+        )
     w3 = w_chunks[:, None, :]
     vg = layout.padded_gather_rows
     if data.shape[0] < vg:
@@ -1573,10 +2034,6 @@ def rspmm_gather_addsq(
     tf = max(_LANE, ((80 * 1024 * 1024 // 4) // per_f) // _LANE * _LANE)
     tf = min(F_pad, tf)
 
-    kernel = functools.partial(
-        _kernel_gather_addsq_vmem, mode="mul_rel",
-        num_chunks=layout.num_chunks, packed=packed,
-    )
     s_pieces, q_pieces = [], []
     for f0 in range(0, F_pad, tf):
         fw = min(tf, F_pad - f0)
@@ -1584,13 +2041,14 @@ def rspmm_gather_addsq(
         data_f = data[:, f0 : f0 + fw].reshape(
             -1, layout.block_rows, ft, _LANE
         )
+        mk = (NACC, ft, _LANE) if layout.interleave else (ft, _LANE)
         scratch = [
             pltpu.SMEM((2, 4, te), jnp.int32),
             pltpu.SMEM((2, 1, te), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((ft, _LANE), jnp.float32),  # mark_s
-            pltpu.VMEM((ft, _LANE), jnp.float32),  # mark_q
+            pltpu.VMEM(mk, jnp.float32),  # mark_s (per lane if interleaved)
+            pltpu.VMEM(mk, jnp.float32),  # mark_q
             pltpu.VMEM((2, layout.block_rows, ft, _LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
@@ -1695,13 +2153,22 @@ def rspmm_bwd_fused(
         # blocked-destination streaming: per-edge g gathers read a VMEM
         # block the kernel double-buffers a bucket ahead (_stream_preamble);
         # metadata packed to one SMEM word when the bounds fit
-        packed = _packed_ok(layout, r_pad)
-        kernel = functools.partial(
-            _kernel_bwd_fused_vmem, mode=mode,
-            num_chunks=layout.num_chunks, packed=packed, manual_stream=True,
-        )
-        if packed:
-            meta = _pack_meta_packed(layout, layout.gather1, layout.aux)
+        if layout.interleave:
+            assert layout.interleave == NACC and _packed_ok(layout, r_pad)
+            kernel = functools.partial(
+                _kernel_bwd_fused_ilv, mode=mode,
+                num_chunks=layout.num_chunks,
+            )
+            meta = _pack_meta_ilv(layout, layout.gather1, layout.aux)
+        else:
+            packed = _packed_ok(layout, r_pad)
+            kernel = functools.partial(
+                _kernel_bwd_fused_vmem, mode=mode,
+                num_chunks=layout.num_chunks, packed=packed,
+                manual_stream=True,
+            )
+            if packed:
+                meta = _pack_meta_packed(layout, layout.gather1, layout.aux)
         vg = layout.padded_gather_rows
         if g_flat.shape[0] < vg:
             g_flat = jnp.pad(g_flat, ((0, vg - g_flat.shape[0]), (0, 0)))
@@ -1770,9 +2237,12 @@ def rspmm_bwd_fused(
                 pltpu.VMEM((NGRP * GROUP, ft, _LANE), g_flat.dtype),
                 pltpu.SemaphoreType.DMA((NGRP,)),
             ]
+        ilv = blocked and layout.interleave
         scratch += [
-            pltpu.VMEM((ft, _LANE), jnp.float32),     # telescoping mark
-            pltpu.VMEM((ft, _LANE), x_flat.dtype),    # current src x row
+            # telescoping mark + current src x row (one per lane when
+            # interleaved)
+            pltpu.VMEM((NACC, ft, _LANE) if ilv else (ft, _LANE), jnp.float32),
+            pltpu.VMEM((NACC, ft, _LANE) if ilv else (ft, _LANE), x_flat.dtype),
         ]
         if blocked:  # manual g-block double buffer + its DMA sems
             scratch += [
@@ -2031,13 +2501,23 @@ def rspmm_bwd_minmax_blk(
     tf = max(_LANE, ((96 * 1024 * 1024 // 4) // per_f) // _LANE * _LANE)
     tf = min(F_pad, tf)
 
-    kernel = functools.partial(
-        _kernel_bwd_fused_vmem, mode=mode, num_chunks=layout.num_chunks,
-        packed=packed, manual_stream=True,
+    flags = dict(
         argext=kind == "argext" and not pair,
         argext_pair=kind == "argext" and pair,
         moments=kind == "moments",
     )
+    if layout.interleave:
+        assert layout.interleave == NACC and packed
+        kernel = functools.partial(
+            _kernel_bwd_fused_ilv, mode=mode, num_chunks=layout.num_chunks,
+            **flags,
+        )
+        meta = _pack_meta_ilv(layout, layout.gather1, layout.aux)
+    else:
+        kernel = functools.partial(
+            _kernel_bwd_fused_vmem, mode=mode, num_chunks=layout.num_chunks,
+            packed=packed, manual_stream=True, **flags,
+        )
     dx_pieces, dr_pieces = [], []
     for f0 in range(0, F_pad, tf):
         fw = min(tf, F_pad - f0)
@@ -2049,13 +2529,14 @@ def rspmm_bwd_minmax_blk(
              for p in planes],
             axis=2,
         )
+        mk = (NACC, ft, _LANE) if layout.interleave else (ft, _LANE)
         scratch = [
             pltpu.SMEM((2, 4, te), jnp.int32),
             pltpu.SMEM((2, 1, te), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((ft, _LANE), jnp.float32),   # telescoping mark
-            pltpu.VMEM((ft, _LANE), jnp.float32),   # current src x row
+            pltpu.VMEM(mk, jnp.float32),   # telescoping mark (per lane)
+            pltpu.VMEM(mk, jnp.float32),   # current src x row (per lane)
             pltpu.VMEM((2, layout.block_rows, np_, ft, _LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
