@@ -222,13 +222,49 @@ def conv_apply(
         # the backward pass skips re-running the gather kernels
         return checkpoint_name(out, "rspmm_out")
 
+    def _ring_pair_route(xx):
+        """Mesh-active ring inputs usable for a fused pair call, or None.
+        Mirrors _spmm_raw's ring gating (incl. the permuted_io/block_domain
+        ownership rule)."""
+        if not (cfg.edge_axis and cfg.rspmm_impl == "ring" and not edge_grad):
+            return None
+        from ..parallel.mesh import current_mesh
+
+        mesh = current_mesh()
+        if mesh is None or cfg.edge_axis not in mesh.axis_names:
+            return None
+        ri = graph.ring_inputs
+        if ri is None or (ri.permuted_io and not block_domain):
+            return None
+        return mesh, ri
+
     def spmm_maxmin(relation, xx):
-        """pna's extremum pair: one fused kernel pass for both (max, min)
-        when the single-chip blocked Pallas path applies — one x stream and
-        one message compute feed both extrema, and the backward shares the
-        argext recompute (ops/rspmm.py::generalized_rspmm_maxmin). Every
-        other route (xla, ring, sharded, rotate, edge_grad, dense) keeps
-        the two-call semantics."""
+        """pna's extremum pair: one fused pass for both (max, min).
+        Ring route: ONE ring rotation of x feeds both extrema and the
+        backward rotates the packed 4 planes through one transposed ring
+        (parallel/ring_rspmm.py::ring_rspmm_maxmin) — two separate ring
+        calls pay the n-1 [V/n, B*D] ppermutes twice. Single-chip blocked
+        Pallas route: one x stream + one message compute
+        (ops/rspmm.py::generalized_rspmm_maxmin). Every other route (xla,
+        sharded-replicated, rotate, edge_grad, dense) keeps the two-call
+        semantics."""
+        if os.environ.get("RSPMM_FUSED_PNA") != "0":
+            route = _ring_pair_route(xx)
+            if route is not None:
+                from ..parallel.ring_rspmm import ring_rspmm_maxmin
+
+                mesh, ri = route
+                m = {"transe": "add", "distmult": "mul"}[cfg.message_func]
+                mx, mn = ring_rspmm_maxmin(
+                    graph.edge_weight, ri,
+                    relation, xx.reshape(xx.shape[0], B, D),
+                    msg=m, mesh=mesh, axis=cfg.edge_axis,
+                    exchange=cfg.ring_exchange,
+                )
+                return (checkpoint_name(mx.reshape(mx.shape[0], -1),
+                                        "rspmm_out"),
+                        checkpoint_name(mn.reshape(mn.shape[0], -1),
+                                        "rspmm_out"))
         impl = cfg.rspmm_impl
         if impl == "ring":
             impl = "pallas" if graph.layouts is not None else "xla"
@@ -257,7 +293,26 @@ def conv_apply(
         distmult (sum(w*(rel*x)^2) == sum(w*rel^2*x^2) there; transe's
         reference convention sums rel^2+x^2, which does not factor through
         the message — ref layer.py:163-167). Rotate keeps its planar
-        sq_add path; every other route keeps the two-call semantics."""
+        sq_add path; every other route keeps the two-call semantics.
+        Ring route: one rotation feeds both moments
+        (parallel/ring_rspmm.py::ring_rspmm_addsq)."""
+        if (cfg.message_func == "distmult"
+                and os.environ.get("RSPMM_FUSED_PNA") != "0"):
+            route = _ring_pair_route(xx)
+            if route is not None:
+                from ..parallel.ring_rspmm import ring_rspmm_addsq
+
+                mesh, ri = route
+                s, sq = ring_rspmm_addsq(
+                    graph.edge_weight, ri,
+                    relation, xx.reshape(xx.shape[0], B, D),
+                    mesh=mesh, axis=cfg.edge_axis,
+                    exchange=cfg.ring_exchange,
+                )
+                return (checkpoint_name(s.reshape(s.shape[0], -1),
+                                        "rspmm_out"),
+                        checkpoint_name(sq.reshape(sq.shape[0], -1),
+                                        "rspmm_out"))
         impl = cfg.rspmm_impl
         if impl == "ring":
             impl = "pallas" if graph.layouts is not None else "xla"

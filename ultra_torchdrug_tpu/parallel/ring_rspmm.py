@@ -579,6 +579,321 @@ def _make_ring_rspmm_minmax(
     return rspmm
 
 
+@lru_cache(maxsize=None)
+def _make_ring_rspmm_maxmin_pair(
+    msg: str, num_nodes: int, v_block: int, n_shards: int,
+    mesh: Mesh, axis: str, exchange: str = "ppermute",
+):
+    """Ring-level fused (max, min) pair — the ring analog of the single-chip
+    generalized_rspmm_maxmin (ops/rspmm_pallas.py): pna's extrema issue
+    together, and at ring level the expensive shared resource is the x
+    BLOCK ROTATION, not just the message compute. One rotation + one
+    message computation feed both extrema (two separate ring calls pay the
+    n-1 ppermutes of [V/n, B*D] twice); the backward rotates the packed
+    (g_max, out_max, g_min, out_min) planes through ONE transposed ring and
+    shares the message recompute between both equality gates."""
+    espec = P(axis)
+    rep = P()
+    n = n_shards
+    vb = v_block
+    rotate = _make_rotate(axis, n, exchange)
+
+    def _wshape(w, like):
+        return w.reshape((-1,) + (1,) * (like.ndim - 1))
+
+    def fwd_body(edge_weight, fwd_bk, relation, x_blk):
+        bks = jax.tree_util.tree_map(lambda a: a[0], fwd_bk)
+        s = jax.lax.axis_index(axis)
+        x_rot = x_blk
+        omx = jnp.full((vb,) + x_rot.shape[1:], -_BIG, jnp.float32)
+        omn = jnp.full((vb,) + x_rot.shape[1:], _BIG, jnp.float32)
+        for k in range(n):
+            b = jax.lax.rem(s - k + n, n)
+            bk = _bucket_at(bks, b)
+            w = edge_weight[bk.edge_id] * bk.valid
+            m = _messages(relation, bk.etype, x_rot[bk.gather_local], msg)
+            mw = m * _wshape(w, m)
+            vmask = _wshape(bk.valid, mw) > 0
+            omx = jnp.maximum(omx, jax.ops.segment_max(
+                jnp.where(vmask, mw, -_BIG), bk.out_local, num_segments=vb))
+            omn = jnp.minimum(omn, jax.ops.segment_min(
+                jnp.where(vmask, mw, _BIG), bk.out_local, num_segments=vb))
+            if k + 1 < n:
+                x_rot = rotate(x_rot)
+        return (jnp.where(omx <= -_BIG / 2, 0.0, omx),
+                jnp.where(omn >= _BIG / 2, 0.0, omn))
+
+    fwd_sm = shard_map(
+        fwd_body, mesh=mesh, in_specs=(rep, espec, rep, espec),
+        out_specs=(espec, espec), check_vma=False,
+    )
+
+    def bwd_body(edge_weight, rev_bk, relation, x_blk, gmx, omx, gmn, omn):
+        bks = jax.tree_util.tree_map(lambda a: a[0], rev_bk)
+        s = jax.lax.axis_index(axis)
+        x_own = x_blk
+        rot = (gmx, omx, gmn, omn)
+        dx = jnp.zeros((vb,) + x_own.shape[1:], jnp.float32)
+        dr = None
+        for k in range(n):
+            b = jax.lax.rem(s - k + n, n)
+            bk = _bucket_at(bks, b)
+            w = edge_weight[bk.edge_id] * bk.valid
+            x_rows = x_own[bk.out_local]
+            rel_e = relation[bk.etype]
+            if relation.ndim != 3 and x_rows.ndim == 3:
+                rel_e = rel_e[:, None, :]
+            m = rel_e * x_rows if msg == "mul" else rel_e + x_rows
+            mw = m * _wshape(w, m)
+            gw = (rot[0][bk.gather_local]
+                  * (mw == rot[1][bk.gather_local]).astype(jnp.float32)
+                  + rot[2][bk.gather_local]
+                  * (mw == rot[3][bk.gather_local]).astype(jnp.float32)
+                  ) * _wshape(w, mw)
+            dx_e = rel_e * gw if msg == "mul" else gw
+            dr_e = x_rows * gw if msg == "mul" else gw
+            dx = dx + jax.ops.segment_sum(dx_e, bk.out_local, num_segments=vb)
+            dr_p = jax.ops.segment_sum(
+                dr_e, bk.etype, num_segments=relation.shape[0])
+            dr = dr_p if dr is None else dr + dr_p
+            if k + 1 < n:
+                rot = rotate(rot)
+        if relation.ndim < dr.ndim:
+            dr = dr.sum(axis=tuple(range(1, dr.ndim - relation.ndim + 1)))
+        return jax.lax.psum(dr, axis), dx
+
+    bwd_sm = shard_map(
+        bwd_body, mesh=mesh,
+        in_specs=(rep, espec, rep) + (espec,) * 5,
+        out_specs=(rep, espec), check_vma=False,
+    )
+
+    v_pad = vb * n
+
+    def _pad_rows(arr):
+        if arr.shape[0] == v_pad:
+            return arr
+        return jnp.concatenate(
+            [arr, jnp.zeros((v_pad - arr.shape[0],) + arr.shape[1:],
+                            arr.dtype)], 0)
+
+    def _to_blocks(inputs, arr):
+        arr = _pad_rows(arr)
+        return arr if inputs.to_old is None else arr[inputs.to_old]
+
+    def _from_blocks(inputs, arr):
+        if inputs.to_new is None:
+            return arr[:num_nodes]
+        return arr[inputs.to_new]
+
+    @jax.custom_vjp
+    def rspmm_pair(edge_weight, inputs, relation, x):
+        if inputs.permuted_io:
+            assert x.shape[0] == v_pad, (x.shape, v_pad)
+            return fwd_sm(edge_weight, inputs.fwd, relation, x)
+        mx, mn = fwd_sm(edge_weight, inputs.fwd, relation,
+                        _to_blocks(inputs, x))
+        return _from_blocks(inputs, mx), _from_blocks(inputs, mn)
+
+    def vjp_fwd(edge_weight, inputs, relation, x):
+        out = rspmm_pair(edge_weight, inputs, relation, x)
+        return out, (edge_weight, inputs, relation, x, out)
+
+    def _zeros_leaf(leaf):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return jnp.zeros_like(leaf)
+        return jnp.zeros(leaf.shape, dtype=jax.dtypes.float0)
+
+    def vjp_bwd(res, g):
+        edge_weight, inputs, relation, x, (omx, omn) = res
+        gmx, gmn = g
+        if inputs.permuted_io:
+            dr, dx = bwd_sm(edge_weight, inputs.rev, relation, x,
+                            gmx, omx, gmn, omn)
+        else:
+            dr, dx_pad = bwd_sm(
+                edge_weight, inputs.rev, relation, _to_blocks(inputs, x),
+                _to_blocks(inputs, gmx), _to_blocks(inputs, omx),
+                _to_blocks(inputs, gmn), _to_blocks(inputs, omn),
+            )
+            dx = _from_blocks(inputs, dx_pad)
+            if dx.shape[0] > x.shape[0]:
+                dx = dx[: x.shape[0]]
+            elif dx.shape[0] < x.shape[0]:
+                dx = jnp.concatenate(
+                    [dx, jnp.zeros((x.shape[0] - dx.shape[0],) + dx.shape[1:],
+                                   dx.dtype)], 0)
+        return (jnp.zeros_like(edge_weight),
+                jax.tree_util.tree_map(_zeros_leaf, inputs), dr, dx)
+
+    rspmm_pair.defvjp(vjp_fwd, vjp_bwd)
+    return rspmm_pair
+
+
+@lru_cache(maxsize=None)
+def _make_ring_rspmm_addsq(
+    num_nodes: int, v_block: int, n_shards: int,
+    mesh: Mesh, axis: str, exchange: str = "ppermute",
+):
+    """Ring-level fused (sum, sum-of-squares) pair for the distmult pna
+    moments: one x rotation and one message computation feed both
+    accumulators (the two-call form rotates x twice AND materializes
+    rel^2/x^2 copies). Backward rotates (g_s, g_sq) together; both
+    gradients factor through one inner term w*g_s + 2*msg*w*g_sq, like
+    the single-chip fused kernel (ops/rspmm_pallas.py addsq)."""
+    espec = P(axis)
+    rep = P()
+    n = n_shards
+    vb = v_block
+    rotate = _make_rotate(axis, n, exchange)
+
+    def _wshape(w, like):
+        return w.reshape((-1,) + (1,) * (like.ndim - 1))
+
+    def fwd_body(edge_weight, fwd_bk, relation, x_blk):
+        bks = jax.tree_util.tree_map(lambda a: a[0], fwd_bk)
+        s = jax.lax.axis_index(axis)
+        x_rot = x_blk
+        os_ = jnp.zeros((vb,) + x_rot.shape[1:], jnp.float32)
+        oq = jnp.zeros((vb,) + x_rot.shape[1:], jnp.float32)
+        for k in range(n):
+            b = jax.lax.rem(s - k + n, n)
+            bk = _bucket_at(bks, b)
+            w = edge_weight[bk.edge_id] * bk.valid
+            m = _messages(relation, bk.etype, x_rot[bk.gather_local], "mul")
+            mw = m * _wshape(w, m)
+            os_ = os_ + jax.ops.segment_sum(mw, bk.out_local, num_segments=vb)
+            oq = oq + jax.ops.segment_sum(
+                m * mw, bk.out_local, num_segments=vb)
+            if k + 1 < n:
+                x_rot = rotate(x_rot)
+        return os_, oq
+
+    fwd_sm = shard_map(
+        fwd_body, mesh=mesh, in_specs=(rep, espec, rep, espec),
+        out_specs=(espec, espec), check_vma=False,
+    )
+
+    def bwd_body(edge_weight, rev_bk, relation, x_blk, gs, gq):
+        bks = jax.tree_util.tree_map(lambda a: a[0], rev_bk)
+        s = jax.lax.axis_index(axis)
+        x_own = x_blk
+        rot = (gs, gq)
+        dx = jnp.zeros((vb,) + x_own.shape[1:], jnp.float32)
+        dr = None
+        for k in range(n):
+            b = jax.lax.rem(s - k + n, n)
+            bk = _bucket_at(bks, b)
+            w = edge_weight[bk.edge_id] * bk.valid
+            x_rows = x_own[bk.out_local]
+            rel_e = relation[bk.etype]
+            if relation.ndim != 3 and x_rows.ndim == 3:
+                rel_e = rel_e[:, None, :]
+            m = rel_e * x_rows
+            wv = _wshape(w, m)
+            inner = rot[0][bk.gather_local] * wv \
+                + (2.0 * m) * (rot[1][bk.gather_local] * wv)
+            dx = dx + jax.ops.segment_sum(
+                rel_e * inner, bk.out_local, num_segments=vb)
+            dr_p = jax.ops.segment_sum(
+                x_rows * inner, bk.etype, num_segments=relation.shape[0])
+            dr = dr_p if dr is None else dr + dr_p
+            if k + 1 < n:
+                rot = rotate(rot)
+        if relation.ndim < dr.ndim:
+            dr = dr.sum(axis=tuple(range(1, dr.ndim - relation.ndim + 1)))
+        return jax.lax.psum(dr, axis), dx
+
+    bwd_sm = shard_map(
+        bwd_body, mesh=mesh,
+        in_specs=(rep, espec, rep) + (espec,) * 3,
+        out_specs=(rep, espec), check_vma=False,
+    )
+
+    v_pad = vb * n
+
+    def _pad_rows(arr):
+        if arr.shape[0] == v_pad:
+            return arr
+        return jnp.concatenate(
+            [arr, jnp.zeros((v_pad - arr.shape[0],) + arr.shape[1:],
+                            arr.dtype)], 0)
+
+    def _to_blocks(inputs, arr):
+        arr = _pad_rows(arr)
+        return arr if inputs.to_old is None else arr[inputs.to_old]
+
+    def _from_blocks(inputs, arr):
+        if inputs.to_new is None:
+            return arr[:num_nodes]
+        return arr[inputs.to_new]
+
+    @jax.custom_vjp
+    def rspmm_pair(edge_weight, inputs, relation, x):
+        if inputs.permuted_io:
+            assert x.shape[0] == v_pad, (x.shape, v_pad)
+            return fwd_sm(edge_weight, inputs.fwd, relation, x)
+        s_, q_ = fwd_sm(edge_weight, inputs.fwd, relation,
+                        _to_blocks(inputs, x))
+        return _from_blocks(inputs, s_), _from_blocks(inputs, q_)
+
+    def vjp_fwd(edge_weight, inputs, relation, x):
+        out = rspmm_pair(edge_weight, inputs, relation, x)
+        return out, (edge_weight, inputs, relation, x)
+
+    def _zeros_leaf(leaf):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return jnp.zeros_like(leaf)
+        return jnp.zeros(leaf.shape, dtype=jax.dtypes.float0)
+
+    def vjp_bwd(res, g):
+        edge_weight, inputs, relation, x = res
+        gs, gq = g
+        if inputs.permuted_io:
+            dr, dx = bwd_sm(edge_weight, inputs.rev, relation, x, gs, gq)
+        else:
+            dr, dx_pad = bwd_sm(
+                edge_weight, inputs.rev, relation, _to_blocks(inputs, x),
+                _to_blocks(inputs, gs), _to_blocks(inputs, gq),
+            )
+            dx = _from_blocks(inputs, dx_pad)
+            if dx.shape[0] > x.shape[0]:
+                dx = dx[: x.shape[0]]
+            elif dx.shape[0] < x.shape[0]:
+                dx = jnp.concatenate(
+                    [dx, jnp.zeros((x.shape[0] - dx.shape[0],) + dx.shape[1:],
+                                   dx.dtype)], 0)
+        return (jnp.zeros_like(edge_weight),
+                jax.tree_util.tree_map(_zeros_leaf, inputs), dr, dx)
+
+    rspmm_pair.defvjp(vjp_fwd, vjp_bwd)
+    return rspmm_pair
+
+
+def ring_rspmm_maxmin(edge_weight, inputs: RingRspmmInputs, relation, x, *,
+                      msg: str, mesh: Mesh, axis: str = "edge",
+                      exchange: str = "ppermute"):
+    """Fused (max, min) over one ring rotation — see
+    _make_ring_rspmm_maxmin_pair."""
+    fn = _make_ring_rspmm_maxmin_pair(
+        msg, inputs.num_nodes, inputs.v_block, inputs.n_shards, mesh, axis,
+        exchange=exchange,
+    )
+    return fn(edge_weight, inputs, relation, x)
+
+
+def ring_rspmm_addsq(edge_weight, inputs: RingRspmmInputs, relation, x, *,
+                     mesh: Mesh, axis: str = "edge",
+                     exchange: str = "ppermute"):
+    """Fused (sum, sum-of-squares) over one ring rotation (distmult) — see
+    _make_ring_rspmm_addsq."""
+    fn = _make_ring_rspmm_addsq(
+        inputs.num_nodes, inputs.v_block, inputs.n_shards, mesh, axis,
+        exchange=exchange,
+    )
+    return fn(edge_weight, inputs, relation, x)
+
+
 def ring_rspmm(
     edge_weight,
     inputs: RingRspmmInputs,
