@@ -2493,12 +2493,14 @@ def rspmm_bwd_minmax_blk(
     else:
         meta = _pack_meta(layout, layout.gather1, layout.aux)
     w3 = w_chunks[:, None, :]
-    # the packed (g, out) planes multiply the streamed-block VMEM: F=4096
-    # runs in multiple feature passes (each repays the per-edge scalar
-    # decode; the streamed bytes per pass shrink, so total stream traffic
-    # is unchanged)
+    # the packed (g, out) planes multiply the streamed-block VMEM. Every
+    # feature pass repays the full per-edge scalar decode + flush machinery,
+    # so single-pass at F=4096 is worth pushing VMEM to the edge — with
+    # small streamed blocks (block_rows <= 256) the working set fits the
+    # 128 MB chip budget in one pass.
+    budget_mb = int(os.environ.get("RSPMM_MM_BWD_VMEM_MB", "112"))
     per_f = 2 * r_pad + 4 * tv + 2 * np_ * layout.block_rows + 16
-    tf = max(_LANE, ((96 * 1024 * 1024 // 4) // per_f) // _LANE * _LANE)
+    tf = max(_LANE, ((budget_mb * 1024 * 1024 // 4) // per_f) // _LANE * _LANE)
     tf = min(F_pad, tf)
 
     flags = dict(
@@ -2569,7 +2571,7 @@ def rspmm_bwd_minmax_blk(
                 jax.ShapeDtypeStruct((r_pad, ft, _LANE), jnp.float32),
             ),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=112 * 1024 * 1024,
+                vmem_limit_bytes=max(112, budget_mb + 10) * 1024 * 1024,
             ),
             interpret=interpret,
         )(
