@@ -404,8 +404,11 @@ def main():
     for strip in args.variants.split(","):
         call = build_call(strip)
         if strip == "b0_full" or strip.startswith("b10"):
-            out = jax.jit(lambda c=call: c(
-                lay.cr_pairs, meta, w3, data_blocks, relation))()
+            # args, not closure constants: closures inline multi-MB arrays
+            # as MLIR literals and blow the remote-compile payload limit
+            out = jax.jit(lambda md, wd, db, rl, c=call: c(
+                lay.cr_pairs, md, wd, db, rl))(
+                    meta, w3, data_blocks, relation)
             if strip.startswith("b10"):
                 out = jnp.concatenate(list(out), axis=1)
             out = np.asarray(out)

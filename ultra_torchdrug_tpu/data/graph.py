@@ -229,6 +229,8 @@ class Graph:
         hot_rows: int = None,
         blocked="auto",
         block_rows: int = 1024,
+        interleave="auto",
+        bwd_block_rows: int = None,
     ) -> "Graph":
         """Attach CSR layouts for the Pallas rspmm kernels (host-side; call
         once per graph after all topology transforms). include_rel_layout is
@@ -254,6 +256,8 @@ class Graph:
             hot_rows=hot_rows,
             blocked=blocked,
             block_rows=block_rows,
+            interleave=interleave,
+            bwd_block_rows=bwd_block_rows,
         )
         return self._replace_keep_host(layouts=layouts)
 

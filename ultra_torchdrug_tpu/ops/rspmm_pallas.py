@@ -2172,11 +2172,14 @@ def rspmm_bwd_fused(
         vg = layout.padded_gather_rows
         if g_flat.shape[0] < vg:
             g_flat = jnp.pad(g_flat, ((0, vg - g_flat.shape[0]), (0, 0)))
-        # every f-pass repays the full per-edge scalar decode: size tf to
-        # stay single-pass at F=4096 (the flagship width) — 96 MB of data
-        # VMEM, raised vmem limit below
+        # every f-pass repays the full per-edge scalar decode + flush
+        # machinery: size tf to stay single-pass at F=4096 (the flagship
+        # width) — push data VMEM to the edge; small streamed g blocks
+        # (block_rows <= 256) make the F=4096 working set fit in one pass
+        bw_budget_mb = int(os.environ.get("RSPMM_BWD_VMEM_MB", "96"))
         per_f = 2 * r_pad + 4 * tv + 2 * layout.block_rows + 16
-        tf = max(_LANE, ((96 * 1024 * 1024 // 4) // per_f) // _LANE * _LANE)
+        tf = max(_LANE,
+                 ((bw_budget_mb * 1024 * 1024 // 4) // per_f) // _LANE * _LANE)
         tf = min(F_pad, tf)
         if jnp.dtype(compute_dtype) == jnp.bfloat16:
             tf = max(8 * _LANE, (tf // (8 * _LANE)) * (8 * _LANE))
@@ -2280,7 +2283,9 @@ def rspmm_bwd_fused(
                 # blocked: 112 MB of the chip's 128 MB — the single-pass
                 # working set at F=4096 (dx/x full tiles + streamed g blocks
                 # + dr, all double-buffered) is ~100 MB
-                vmem_limit_bytes=(112 if blocked else 100) * 1024 * 1024,
+                vmem_limit_bytes=(
+                    max(112, bw_budget_mb + 10) if blocked else 100
+                ) * 1024 * 1024,
             ),
             interpret=interpret,
         )(
@@ -2835,16 +2840,24 @@ def rspmm_bwd_pallas_minmax(layouts, edge_weight, relation, x, out, g, *, msg):
     out_flat = _flat(out)
     rel_flat = relation if flat_in else _rel_flat(relation, x.shape[1])
     mode = "mul" if msg == "mul" else "add"
-    # Blocked-destination streaming for the argext backward measured SLOWER
-    # than the per-edge packed gathers + hot split (42.9 vs 38.2 ms at the
-    # bench shape): the rev blocked bucketing shortens same-src runs to ~1-2
-    # (flush-heavy) and the packed (g, out) pair doubles the streamed block
-    # bytes AND forces two feature passes at F=4096. The per-edge path sits
-    # at its own roofline (2x the add backward's gather bytes -> 2x its
-    # time). Kept behind RSPMM_MINMAX_BLOCKED_BWD=1 for re-evaluation on
-    # future hardware.
-    if (os.environ.get("RSPMM_MINMAX_BLOCKED_BWD") == "1"
-            and getattr(layouts, "rev_blk", None) is not None):
+    # Blocked-destination streaming for the argext backward: with CONTIGUOUS
+    # layouts it measured SLOWER than the per-edge packed gathers + hot
+    # split (42.9 vs 38.2 ms at the bench shape — rev blocked bucketing
+    # shortens same-src runs to ~1-2 where the contiguous flush machinery
+    # serializes, and the packed (g, out) pair used to force two feature
+    # passes). Round 5 changed both terms: the RUN-INTERLEAVED body flushes
+    # once per lane-owned segment and the 112 MB VMEM budget keeps F=4096
+    # single-pass, measuring 22.3 ms — the blocked route is therefore the
+    # DEFAULT whenever rev_blk is interleaved (39.81 ms max fwd+bwd total =
+    # 13.99M edges/s vs 54.96 per-edge), opt-out RSPMM_MINMAX_BLOCKED_BWD=0;
+    # contiguous layouts keep the per-edge path unless forced with =1.
+    rev_blk = getattr(layouts, "rev_blk", None)
+    blk_env = os.environ.get("RSPMM_MINMAX_BLOCKED_BWD")
+    use_blk = rev_blk is not None and (
+        blk_env == "1"
+        or (bool(rev_blk.interleave) and blk_env != "0")
+    )
+    if use_blk:
         dx_flat, dr_flat = rspmm_bwd_minmax_blk(
             _flat(x), g_flat, out_flat, rel_flat,
             _weight_chunks(edge_weight, layouts.rev_blk),

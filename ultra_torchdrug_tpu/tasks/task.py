@@ -306,8 +306,28 @@ class _TaskBase:
         if self._uses_pallas():
             transe = (self.model_cfg.entity.message_func == "transe"
                       or self.model_cfg.relation.message_func == "transe")
-            und = und.prepare_pallas(include_rel_layout=transe)
-            rel_graph = rel_graph.prepare_pallas(include_rel_layout=transe)
+
+            def ilv(tower):
+                # extremum-issuing aggregations take the run-interleaved
+                # blocked layouts: the interleaved extremum bodies measured
+                # -18% fwd and make the single-pass blocked argext backward
+                # the winner (max fwd+bwd 39.8 vs 55.0 ms at the bench
+                # shape; pairs -22%). sum/mean keep contiguous (ILV measured
+                # +4% there). pna's 4-plane pair backward only stays
+                # single-pass with 256-row streamed g blocks.
+                base = tower.aggregate_func.replace("_nobound", "")
+                if base == "pna":
+                    return dict(interleave=8, bwd_block_rows=256)
+                if base in ("max", "min"):
+                    return dict(interleave=8)
+                return {}
+
+            und = und.prepare_pallas(
+                include_rel_layout=transe, **ilv(self.model_cfg.entity),
+            )
+            rel_graph = rel_graph.prepare_pallas(
+                include_rel_layout=transe, **ilv(self.model_cfg.relation),
+            )
             edge_axis = self.model_cfg.entity.edge_axis
             if edge_axis:
                 from ..parallel.mesh import current_mesh
@@ -834,7 +854,10 @@ class ClassicNBFNetTask(TransductiveKGTask):
     def _prepare_graphs(self, fact_graph, rel_graph):
         und = fact_graph.undirected_with_inverse()
         if self.nbf_cfg.rspmm_impl == "pallas":
-            und = und.prepare_pallas()
+            base = self.nbf_cfg.aggregate_func.replace("_nobound", "")
+            kw = ({"interleave": 8, "bwd_block_rows": 256} if base == "pna"
+                  else {"interleave": 8} if base in ("max", "min") else {})
+            und = und.prepare_pallas(**kw)
         return und, rel_graph
 
     def _train_scores(self, params, fact_graph, rel_graph, h, t, r, neg,
