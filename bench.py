@@ -115,7 +115,24 @@ def bench_impl(impl, triplets, rel, x, V, R, chain=4, repeats=3, batch_chunk=Non
         t_hi_best = min(t_hi_best, time.time() - t0)
     per_step = (t_hi_best - t_lo_best) / chain * scale  # one full-batch fwd+bwd
     E = triplets.shape[0]
-    return E / per_step, per_step
+    slots = None
+    if impl == "pallas" and layouts is not None and layouts.fwd_blk is not None:
+        slots = (int(np.prod(layouts.fwd_blk.valid.shape)),
+                 int(np.prod(layouts.rev_blk.valid.shape)))
+    return E / per_step, per_step, slots
+
+
+def roofline_edges_per_s(E, slots_fwd, slots_bwd, clock_hz=940e6):
+    """Operative roofline from KERNEL_ROOFLINE.md §2 (measured, not vibes):
+    per-slot cycles = the measured per-edge body floor (11.7, blocked_ladder
+    b1_noflush on the real layout) + the cheapest single-ingredient output
+    commit measured (4.8); the backward adds the per-edge dr scatter + src
+    row refresh (4.1, kernel_floor v5). Classical VPU/HBM bounds are 2-3x
+    lower than any measured body and the flush cost survived three redesigns
+    — this floor is the defensible denominator for the >=70% gate."""
+    fwd_cyc = slots_fwd * (11.7 + 4.8)
+    bwd_cyc = slots_bwd * (11.7 + 4.8 + 4.1)
+    return E / ((fwd_cyc + bwd_cyc) / clock_hz)
 
 
 _BASELINE_CACHE = "BASELINE_LOCAL.json"  # committed XLA-baseline measurement
@@ -173,7 +190,8 @@ def main():
     # baseline re-measurement can eat the caller's time budget (round 1's
     # bench timed out re-measuring the chained-XLA baseline uncached)
     impl = "pallas" if on_tpu else "xla"
-    edges_per_s, per_step = bench_impl(impl, triplets, rel, x, V, R)
+    edges_per_s, per_step, slots = bench_impl(impl, triplets, rel, x, V, R)
+    roofline = (roofline_edges_per_s(E, *slots) if slots else None)
 
     cached = _load_baseline_cache(backend)
     refresh = "--refresh-baseline" in sys.argv or cached is None
@@ -190,6 +208,9 @@ def main():
             "unit": "edges/s",
             "vs_baseline": round(edges_per_s / base_eps, 3) if base_eps else None,
         }
+        if roofline:
+            # achieved / operative roofline (KERNEL_ROOFLINE.md §2)
+            result["vs_roofline"] = round(edges_per_s / roofline, 3)
         print(json.dumps(result), flush=True)
 
     if cached:
@@ -197,7 +218,7 @@ def main():
     if refresh:
         # baseline: XLA segment-op implementation of the same op (what
         # torch_scatter-style segment ops give you), B-chunked to fit HBM
-        base_edges_per_s, base_step = bench_impl(
+        base_edges_per_s, base_step, _ = bench_impl(
             "xla", triplets, rel, x, V, R, chain=2, repeats=2, batch_chunk=16
         )
         _store_baseline_cache(backend, base_edges_per_s, base_step)

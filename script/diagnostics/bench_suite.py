@@ -98,7 +98,14 @@ def main():
     E = triplets.shape[0]
     impl = "pallas" if backend == "tpu" else "xla"
     g = Graph.from_triplets(triplets, V, R)
+    g_mm = g_pair = g
     if impl == "pallas":
+        # three layout families, matching the task layer's aggregate-driven
+        # choice (tasks/task.py::_prepare_graphs): contiguous for add,
+        # interleaved for extrema, interleaved + 256-row bwd blocks for the
+        # pna pair kernels
+        g_mm = g.prepare_pallas(interleave=8)
+        g_pair = g.prepare_pallas(interleave=8, bwd_block_rows=256)
         g = g.prepare_pallas()
     x0, rel0 = jnp.asarray(x), jnp.asarray(rel)
 
@@ -116,12 +123,14 @@ def main():
             return chain
         return make_chain
 
-    def kernel_leg(name, agg, compute_dtype="float32"):
+    def kernel_leg(name, agg, compute_dtype="float32", graph=None):
+        graph = graph if graph is not None else g
+
         def loss(xx, rr):
             out = generalized_rspmm(
-                g.edge_index, g.edge_type, g.edge_weight, rr, xx,
-                msg="mul", agg=agg, num_nodes=V, impl=impl, layouts=g.layouts,
-                compute_dtype=compute_dtype,
+                graph.edge_index, graph.edge_type, graph.edge_weight, rr, xx,
+                msg="mul", agg=agg, num_nodes=V, impl=impl,
+                layouts=graph.layouts, compute_dtype=compute_dtype,
             )
             return jnp.sum(out * out)
 
@@ -136,7 +145,7 @@ def main():
         print(f"{name}: {t*1e3:.2f} ms  {E/t/1e6:.2f}M edges/s", flush=True)
 
     for agg in ("max", "min"):
-        kernel_leg(f"rspmm_{agg}_fwd_bwd", agg)
+        kernel_leg(f"rspmm_{agg}_fwd_bwd", agg, graph=g_mm)
     # opt-in production mode: bf16-streamed gathers/messages, f32 accumulate
     # (fp32 stays the default — reference parity; see CLAUDE.md invariants)
     kernel_leg("rspmm_add_fwd_bwd_bf16", "add", compute_dtype="bfloat16")
@@ -149,8 +158,8 @@ def main():
     def pair_leg(name, fn):
         def loss(xx, rr):
             a, b = fn(
-                g.edge_index, g.edge_type, g.edge_weight, rr, xx,
-                num_nodes=V, impl=impl, layouts=g.layouts,
+                g_pair.edge_index, g_pair.edge_type, g_pair.edge_weight,
+                rr, xx, num_nodes=V, impl=impl, layouts=g_pair.layouts,
             )
             return jnp.sum(a * a) + jnp.sum(b * b)
 
@@ -251,6 +260,51 @@ def main():
     )
     task_a = TransductiveKGTask(ds, cfg_a, TaskConfig(num_negative=128))
     train_leg("train_step_fwd_bwd_fb_auto", task_a, "auto")
+
+    # 6-layer pna entity tower fwd+bwd at B=32 (the round-4 headline's
+    # workload): exercises the fused maxmin + addsq pair kernels through the
+    # conv layer on the task's pna layout policy (interleaved, 256-row bwd
+    # blocks)
+    from ultra_torchdrug_tpu.models.nbfnet import entity_nbfnet_score_all
+
+    cfg_p = dataclasses.replace(
+        cfg,
+        entity=dataclasses.replace(cfg.entity, aggregate_func="pna",
+                                   remat=True),
+    )
+    task_p = TransductiveKGTask(ds, cfg_p, TaskConfig(num_negative=128))
+    params_p = task_p.init_params(jax.random.PRNGKey(0))
+    fact_und_p, relg_pp = task_p._prepare_graphs(task_p.fact_graph,
+                                                 task_p.rel_graph)
+    b32 = jnp.asarray(task_p.train_triples[:32])
+    hp, rp = b32[:, 0], b32[:, 2]
+    rq = _rel_queries(params_p, cfg_p, relg_pp, rp)
+
+    def pna_loss(p):
+        return entity_nbfnet_score_all(
+            p["entity"], cfg_p.entity, fact_und_p, rq, hp, rp).sum()
+
+    pna_vg = jax.value_and_grad(pna_loss)
+
+    def make_pna_chain(n):
+        @jax.jit
+        def chain(p):
+            def body(i, carry):
+                p, acc = carry
+                loss, grads = pna_vg(p)
+                p = jax.tree_util.tree_map(
+                    lambda a, ga: a + 1e-12 * ga, p, grads)
+                return (p, acc + loss)
+            p, acc = jax.lax.fori_loop(0, n, body, (p, jnp.float32(0.0)))
+            return acc + first_scalar(p)
+        return chain
+
+    t = slope_time(make_pna_chain, (params_p,), lo_n=1, hi_n=3)
+    results["pna_tower_fwd_bwd_b32"] = {
+        "ms": round(t * 1e3, 1), "B": 32, "layers": 6,
+        "V": int(ds.num_entities),
+    }
+    print(f"pna tower fwd+bwd (B=32): {t*1e3:.1f} ms", flush=True)
 
     ev_fn = task._build_eval_fn(task.fact_graph, task.rel_graph, task.graph)
     ebatch = jnp.asarray(task.eval_triples("valid")[:16])
