@@ -1919,8 +1919,13 @@ def rspmm_gather_maxmin(
     if data.shape[0] < vg:
         data = jnp.pad(data, ((0, vg - data.shape[0]), (0, 0)))
     # two output tiles + streamed block (double-buffered) + relation
+    # every feature pass repays the full per-edge scalar decode + flush
+    # machinery — push VMEM to stay single-pass at F=4096 (the pair working
+    # set at tv=1024 / block<=1024 is ~109 MB of the chip's 128)
+    pair_budget_mb = int(os.environ.get("RSPMM_PAIR_VMEM_MB", "108"))
     per_f = rel_rows + 4 * tv + 2 * layout.block_rows + 16
-    tf = max(_LANE, ((80 * 1024 * 1024 // 4) // per_f) // _LANE * _LANE)
+    tf = max(_LANE,
+             ((pair_budget_mb * 1024 * 1024 // 4) // per_f) // _LANE * _LANE)
     tf = min(F_pad, tf)
     mx_pieces, mn_pieces = [], []
     for f0 in range(0, F_pad, tf):
@@ -1965,7 +1970,7 @@ def rspmm_gather_maxmin(
                     (layout.padded_rows, ft, _LANE), jnp.float32),
             ),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
+                vmem_limit_bytes=(pair_budget_mb + 16) * 1024 * 1024,
             ),
             interpret=interpret,
         )(
@@ -2030,8 +2035,13 @@ def rspmm_gather_addsq(
     vg = layout.padded_gather_rows
     if data.shape[0] < vg:
         data = jnp.pad(data, ((0, vg - data.shape[0]), (0, 0)))
+    # every feature pass repays the full per-edge scalar decode + flush
+    # machinery — push VMEM to stay single-pass at F=4096 (the pair working
+    # set at tv=1024 / block<=1024 is ~109 MB of the chip's 128)
+    pair_budget_mb = int(os.environ.get("RSPMM_PAIR_VMEM_MB", "108"))
     per_f = rel_rows + 4 * tv + 2 * layout.block_rows + 16
-    tf = max(_LANE, ((80 * 1024 * 1024 // 4) // per_f) // _LANE * _LANE)
+    tf = max(_LANE,
+             ((pair_budget_mb * 1024 * 1024 // 4) // per_f) // _LANE * _LANE)
     tf = min(F_pad, tf)
 
     s_pieces, q_pieces = [], []
@@ -2080,7 +2090,7 @@ def rspmm_gather_addsq(
                     (layout.padded_rows, ft, _LANE), jnp.float32),
             ),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
+                vmem_limit_bytes=(pair_budget_mb + 16) * 1024 * 1024,
             ),
             interpret=interpret,
         )(
